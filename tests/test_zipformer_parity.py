@@ -1,0 +1,150 @@
+"""Golden parity of the JAX TTSZipformer against the reference torch module.
+
+Uses the reference implementation (mounted read-only) as a numerical oracle:
+random-init a torch TTSZipformer in eval mode, map its state_dict into our
+pytree, and compare forward outputs on identical inputs.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+from zipvoice_tpu.config import ZipformerConfig
+from zipvoice_tpu.io.checkpoint import state_dict_to_params
+from zipvoice_tpu.nn.zipformer import tts_zipformer_forward
+
+SMALL = dict(
+    in_dim=12,
+    out_dim=10,
+    downsampling_factor=(1, 2, 1),
+    num_encoder_layers=(1, 2, 1),
+    cnn_module_kernel=(9, 7, 9),
+    encoder_dim=96,
+    query_head_dim=8,
+    pos_head_dim=4,
+    value_head_dim=8,
+    num_heads=4,
+    feedforward_dim=128,
+    pos_dim=48,
+    time_embed_dim=32,
+)
+
+
+def _build_reference(use_time_embed=True, use_guidance_scale_embed=False, seed=0):
+    import torch
+
+    from zipvoice.models.modules.zipformer import TTSZipformer
+
+    torch.manual_seed(seed)
+    m = TTSZipformer(
+        **SMALL,
+        use_time_embed=use_time_embed,
+        use_guidance_scale_embed=use_guidance_scale_embed,
+    )
+    m.eval()
+    return m
+
+
+def _cfg(use_time_embed=True, use_guidance_scale_embed=False):
+    return ZipformerConfig(
+        **SMALL,
+        use_time_embed=use_time_embed,
+        use_guidance_scale_embed=use_guidance_scale_embed,
+    )
+
+
+@requires_reference
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_backbone_forward_parity(reference_path, with_mask):
+    import torch
+
+    m = _build_reference()
+    params = state_dict_to_params(
+        {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    )
+    cfg = _cfg()
+
+    rng = np.random.default_rng(0)
+    b, t = 2, 37
+    x = rng.standard_normal((b, t, SMALL["in_dim"]), dtype=np.float32)
+    tt = rng.uniform(0, 1, (b,)).astype(np.float32)
+    if with_mask:
+        lens = np.array([37, 23])
+        mask = np.arange(t)[None, :] >= lens[:, None]
+    else:
+        mask = None
+
+    with torch.no_grad():
+        ref = m(
+            torch.from_numpy(x),
+            torch.from_numpy(tt),
+            padding_mask=None if mask is None else torch.from_numpy(mask),
+        ).numpy()
+
+    out = np.asarray(
+        tts_zipformer_forward(params, cfg, x, t=tt, padding_mask=mask)
+    )
+
+    assert out.shape == ref.shape
+    err = np.abs(out - ref).max()
+    assert err < 1e-4, f"max abs err {err}"
+
+
+@requires_reference
+def test_backbone_no_time_embed_parity(reference_path):
+    import torch
+
+    m = _build_reference(use_time_embed=False)
+    params = state_dict_to_params(
+        {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    )
+    cfg = _cfg(use_time_embed=False)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 17, SMALL["in_dim"]), dtype=np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x), None).numpy()
+    out = np.asarray(tts_zipformer_forward(params, cfg, x, t=None))
+    err = np.abs(out - ref).max()
+    assert err < 1e-4, f"max abs err {err}"
+
+
+@requires_reference
+def test_backbone_guidance_embed_parity(reference_path):
+    import torch
+
+    m = _build_reference(use_guidance_scale_embed=True)
+    params = state_dict_to_params(
+        {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    )
+    cfg = _cfg(use_guidance_scale_embed=True)
+
+    rng = np.random.default_rng(2)
+    b, t = 2, 19
+    x = rng.standard_normal((b, t, SMALL["in_dim"]), dtype=np.float32)
+    tt = rng.uniform(0, 1, (b,)).astype(np.float32)
+    gs = rng.uniform(0, 3, (b,)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(
+            torch.from_numpy(x), torch.from_numpy(tt),
+            guidance_scale=torch.from_numpy(gs),
+        ).numpy()
+    out = np.asarray(
+        tts_zipformer_forward(params, cfg, x, t=tt, guidance_scale=gs)
+    )
+    err = np.abs(out - ref).max()
+    assert err < 1e-4, f"max abs err {err}"
+
+
+@requires_reference
+def test_state_dict_roundtrip(reference_path):
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+
+    m = _build_reference()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = state_dict_to_params(sd)
+    back = params_to_state_dict(params)
+    assert set(back.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)

@@ -1,0 +1,474 @@
+"""TTSZipformer backbone as pure JAX functions (TPU-native rebuild).
+
+Re-designs the reference backbone (ref: zipvoice/models/modules/zipformer.py)
+for XLA/TPU:
+
+* batch-first (B, T, C) layout everywhere (the reference is seq-first);
+* eval-mode semantics are the baseline: the training-only stochastic
+  regularizers (layerdrop, skip-rates, const-attention, Balancer, Whiten)
+  are identities in the forward pass (ref scaling.py:632-641, 884) and are
+  reintroduced for training in zipvoice_tpu/train/;
+* the Transformer-XL-style relative-position "as_strided" trick
+  (ref zipformer.py:1239-1248) becomes a zero-FLOP pad/reshape rel-shift;
+* all parameter trees mirror the torch state_dict names (dots -> nesting) so
+  released checkpoints map 1:1 (see zipvoice_tpu/io/checkpoint.py); Linear
+  weights are stored transposed, (in, out).
+
+Shape/dtype notes: attention probabilities and normalization statistics are
+float32; everything else follows the input dtype (bf16 on TPU for speed).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from zipvoice_tpu.config import ZipformerConfig
+from zipvoice_tpu.nn.functional import (
+    bias_norm,
+    compact_rel_positional_encoding,
+    linear,
+    masked_softmax,
+    swoosh_l,
+    swoosh_r,
+    timestep_embedding,
+)
+
+Params = Dict[str, object]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch default statistics; see io/checkpoint.py for
+# loading released checkpoints instead).
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
+                 initial_scale: float = 1.0) -> Params:
+    """torch nn.Linear default init (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(in)))
+    with the ScaledLinear initial_scale convention (ref scaling.py:460-482)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p: Params = {
+        "weight": jax.random.uniform(
+            kw, (in_dim, out_dim), jnp.float32, -bound, bound
+        ) * initial_scale
+    }
+    if bias:
+        if initial_scale == 1.0:
+            p["bias"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+        else:
+            s = 0.1 * initial_scale
+            p["bias"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -s, s)
+    return p
+
+
+def _init_attention_weights(key, cfg: ZipformerConfig) -> Params:
+    """RelPositionMultiheadAttentionWeights params (ref zipformer.py:1081-1147)."""
+    k1, k2 = jax.random.split(key)
+    d = cfg.encoder_dim
+    in_proj_dim = (2 * cfg.query_head_dim + cfg.pos_head_dim) * cfg.num_heads
+    return {
+        "in_proj": _init_linear(
+            k1, d, in_proj_dim, bias=True,
+            initial_scale=cfg.query_head_dim**-0.25,
+        ),
+        "linear_pos": _init_linear(
+            k2, cfg.pos_dim, cfg.num_heads * cfg.pos_head_dim, bias=False,
+            initial_scale=0.05,
+        ),
+    }
+
+
+def _init_self_attention(key, cfg: ZipformerConfig) -> Params:
+    """SelfAttention params (ref zipformer.py:1336-1357)."""
+    k1, k2 = jax.random.split(key)
+    d = cfg.encoder_dim
+    vd = cfg.num_heads * cfg.value_head_dim
+    return {
+        "in_proj": _init_linear(k1, d, vd, bias=True),
+        "out_proj": _init_linear(k2, vd, d, bias=True, initial_scale=0.05),
+    }
+
+
+def _init_feedforward(key, cfg: ZipformerConfig, ff_dim: int) -> Params:
+    """FeedforwardModule params; out_proj is the fused SwooshL+Linear whose
+    weight/bias live directly on the module (ref zipformer.py:1402-1424)."""
+    k1, k2 = jax.random.split(key)
+    d = cfg.encoder_dim
+    return {
+        "in_proj": _init_linear(k1, d, ff_dim, bias=True),
+        "out_proj": _init_linear(k2, ff_dim, d, bias=True, initial_scale=0.1),
+    }
+
+
+def _init_nonlin_attention(key, cfg: ZipformerConfig) -> Params:
+    """NonlinAttention params (ref zipformer.py:1452-1497)."""
+    k1, k2 = jax.random.split(key)
+    d = cfg.encoder_dim
+    hidden = 3 * d // 4
+    return {
+        "in_proj": _init_linear(k1, d, hidden * 3, bias=True),
+        "out_proj": _init_linear(k2, hidden, d, bias=True, initial_scale=0.05),
+    }
+
+
+def _init_conv_module(key, cfg: ZipformerConfig, kernel: int) -> Params:
+    """ConvolutionModule params (ref zipformer.py:1557-1636).  The depthwise
+    conv weight is stored as (kernel, channels) (torch: (C, 1, K))."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d = cfg.encoder_dim
+    bound = 1.0 / math.sqrt(kernel)  # torch Conv1d fan_in = K for depthwise
+    return {
+        "in_proj": _init_linear(k1, d, 2 * d, bias=True),
+        "depthwise_conv": {
+            "weight": jax.random.uniform(k2, (kernel, d), jnp.float32, -bound, bound),
+            "bias": jax.random.uniform(k3, (d,), jnp.float32, -bound, bound),
+        },
+        "out_proj": _init_linear(k4, d, d, bias=True, initial_scale=0.05),
+    }
+
+
+def _init_layer(key, cfg: ZipformerConfig, kernel: int) -> Params:
+    """Zipformer2EncoderLayer params (ref zipformer.py:316-462)."""
+    keys = jax.random.split(key, 10)
+    d = cfg.encoder_dim
+    ff = cfg.feedforward_dim
+    p: Params = {
+        "bypass": {"bypass_scale": jnp.full((d,), 0.5, jnp.float32)},
+        "bypass_mid": {"bypass_scale": jnp.full((d,), 0.5, jnp.float32)},
+        "self_attn_weights": _init_attention_weights(keys[0], cfg),
+        "self_attn1": _init_self_attention(keys[1], cfg),
+        "self_attn2": _init_self_attention(keys[2], cfg),
+        "feed_forward1": _init_feedforward(keys[3], cfg, (ff * 3) // 4),
+        "feed_forward2": _init_feedforward(keys[4], cfg, ff),
+        "feed_forward3": _init_feedforward(keys[5], cfg, (ff * 5) // 4),
+        "nonlin_attention": _init_nonlin_attention(keys[6], cfg),
+        "norm": {
+            "log_scale": jnp.asarray(1.0, jnp.float32),
+            "bias": jnp.zeros((d,), jnp.float32),
+        },
+    }
+    if cfg.use_conv:
+        p["conv_module1"] = _init_conv_module(keys[7], cfg, kernel)
+        p["conv_module2"] = _init_conv_module(keys[8], cfg, kernel)
+    return p
+
+
+def _init_encoder_stack(key, cfg: ZipformerConfig, stack: int) -> Params:
+    """Zipformer2Encoder (+ optional Downsampled wrapper) for one stack."""
+    num_layers = cfg.num_encoder_layers[stack]
+    kernel = cfg.cnn_module_kernel[stack]
+    keys = jax.random.split(key, num_layers + 1)
+    enc: Params = {
+        "layers": {str(i): _init_layer(keys[i], cfg, kernel) for i in range(num_layers)}
+    }
+    if cfg.use_time_embed:
+        # Sequential(SwooshR, Linear) -> torch key 'time_emb.1'
+        enc["time_emb"] = {
+            "1": _init_linear(keys[-1], cfg.time_embed_dim, cfg.encoder_dim)
+        }
+    ds = cfg.downsampling_factor[stack]
+    if ds == 1:
+        return enc
+    return {
+        "downsample": {"bias": jnp.zeros((ds,), jnp.float32)},
+        "encoder": enc,
+        "out_combiner": {"bypass_scale": jnp.full((cfg.encoder_dim,), 0.5, jnp.float32)},
+    }
+
+
+def init_tts_zipformer(key, cfg: ZipformerConfig) -> Params:
+    """Initialize a TTSZipformer parameter tree (ref zipformer.py:109-240)."""
+    n = cfg.num_stacks
+    keys = jax.random.split(key, n + 5)
+    p: Params = {
+        "in_proj": _init_linear(keys[0], cfg.in_dim, cfg.encoder_dim),
+        "out_proj": _init_linear(keys[1], cfg.encoder_dim, cfg.out_dim),
+        "encoders": {str(i): _init_encoder_stack(keys[2 + i], cfg, i) for i in range(n)},
+    }
+    if cfg.use_time_embed:
+        t = cfg.time_embed_dim
+        p["time_embed"] = {
+            "0": _init_linear(keys[n + 2], t, t * 2),
+            "2": _init_linear(keys[n + 3], t * 2, t),
+        }
+    if cfg.use_guidance_scale_embed:
+        p["guidance_scale_embed"] = _init_linear(
+            keys[n + 4], cfg.guidance_scale_embed_dim, cfg.time_embed_dim,
+            bias=False, initial_scale=0.1,
+        )
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _rel_shift(pos_scores: jax.Array, seq_len: int) -> jax.Array:
+    """Convert (B, H, T, 2T-1) relative-axis scores to (B, H, T, T) absolute.
+
+    out[..., i, j] = pos_scores[..., i, (T-1) + j - i]; equivalent to the
+    reference's as_strided view (ref zipformer.py:1239-1248) but expressed as
+    a flatten/slice/reshape that XLA lowers to a cheap copy.
+    """
+    t = seq_len
+    if t == 1:
+        return pos_scores
+    b, h = pos_scores.shape[0], pos_scores.shape[1]
+    flat = pos_scores.reshape(b, h, t * (2 * t - 1))
+    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=2)
+    return flat.reshape(b, h, t, 2 * t - 2)[..., :t]
+
+
+def _attention_weights(
+    p: Params,
+    cfg: ZipformerConfig,
+    x: jax.Array,
+    pos_emb: jax.Array,
+    key_padding_mask: Optional[jax.Array],
+) -> jax.Array:
+    """RelPositionMultiheadAttentionWeights forward (ref zipformer.py:1149-1306).
+
+    x: (B, T, D); pos_emb: (2T-1, pos_dim).  Returns float32 attention
+    probabilities (B, H, T, T).
+    """
+    b, t, _ = x.shape
+    h, qd, pd = cfg.num_heads, cfg.query_head_dim, cfg.pos_head_dim
+    proj = linear(p["in_proj"], x)
+    q = proj[..., : qd * h].reshape(b, t, h, qd)
+    k = proj[..., qd * h : 2 * qd * h].reshape(b, t, h, qd)
+    pq = proj[..., 2 * qd * h :].reshape(b, t, h, pd)
+
+    attn_scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    )
+
+    pe = linear(p["linear_pos"], pos_emb.astype(x.dtype)).reshape(2 * t - 1, h, pd)
+    # (B,T,H,pd) x (2T-1,H,pd) -> (B,H,T,2T-1), then rel-shift to (B,H,T,T)
+    pos_scores = jnp.einsum(
+        "bthd,nhd->bhtn", pq, pe, preferred_element_type=jnp.float32
+    )
+    attn_scores = attn_scores + _rel_shift(pos_scores, t)
+
+    return masked_softmax(attn_scores, key_padding_mask)
+
+
+def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
+                    attn_weights: jax.Array) -> jax.Array:
+    """SelfAttention forward (ref zipformer.py:1359-1396).  x: (B, T, D)."""
+    b, t, _ = x.shape
+    h = cfg.num_heads
+    v = linear(p["in_proj"], x).reshape(b, t, h, cfg.value_head_dim)
+    o = jnp.einsum(
+        "bhts,bshd->bthd", attn_weights.astype(x.dtype), v,
+        preferred_element_type=x.dtype,
+    )
+    return linear(p["out_proj"], o.reshape(b, t, h * cfg.value_head_dim))
+
+
+def _nonlin_attention(p: Params, x: jax.Array, attn_head0: jax.Array) -> jax.Array:
+    """NonlinAttention forward (ref zipformer.py:1499-1544).
+
+    attn_head0: (B, T, T) — the first attention head's probabilities.
+    """
+    proj = linear(p["in_proj"], x)
+    s, v, y = jnp.split(proj, 3, axis=-1)
+    v = v * jnp.tanh(s)
+    v = jnp.einsum(
+        "bts,bsc->btc", attn_head0.astype(x.dtype), v,
+        preferred_element_type=x.dtype,
+    )
+    return linear(p["out_proj"], v * y)
+
+
+def _conv_module(p: Params, x: jax.Array,
+                 key_padding_mask: Optional[jax.Array]) -> jax.Array:
+    """ConvolutionModule forward (ref zipformer.py:1638-1680).
+
+    GLU gate -> depthwise conv over time (SAME) -> SwooshR -> out linear.
+    The depthwise conv is expressed as kernel-tap shifts: for K<=31 this is a
+    handful of VPU fma ops XLA fuses, avoiding grouped-conv lowering.
+    """
+    proj = linear(p["in_proj"], x)
+    v, s = jnp.split(proj, 2, axis=-1)
+    v = v * jax.nn.sigmoid(s)
+    if key_padding_mask is not None:
+        v = jnp.where(key_padding_mask[:, :, None], 0.0, v)
+
+    w = p["depthwise_conv"]["weight"].astype(x.dtype)  # (K, C)
+    kernel = w.shape[0]
+    pad = kernel // 2
+    vp = jnp.pad(v, ((0, 0), (pad, pad), (0, 0)))
+    t = v.shape[1]
+    out = None
+    for k in range(kernel):
+        tap = jax.lax.dynamic_slice_in_dim(vp, k, t, axis=1) * w[k]
+        out = tap if out is None else out + tap
+    out = out + p["depthwise_conv"]["bias"].astype(x.dtype)
+    return linear(p["out_proj"], swoosh_r(out))
+
+
+def _feedforward(p: Params, x: jax.Array) -> jax.Array:
+    """FeedforwardModule forward: Linear -> SwooshL -> Linear
+    (ref zipformer.py:1433-1439)."""
+    return linear(p["out_proj"], swoosh_l(linear(p["in_proj"], x)))
+
+
+def _bypass(p: Params, src_orig: jax.Array, src: jax.Array) -> jax.Array:
+    """BypassModule eval forward (ref zipformer.py:798-804)."""
+    scale = p["bypass_scale"].astype(src.dtype)
+    return src_orig + (src - src_orig) * scale
+
+
+def _encoder_layer(
+    p: Params,
+    cfg: ZipformerConfig,
+    src: jax.Array,
+    pos_emb: jax.Array,
+    time_emb: Optional[jax.Array],
+    key_padding_mask: Optional[jax.Array],
+) -> jax.Array:
+    """Zipformer2EncoderLayer eval forward (ref zipformer.py:489-642).
+
+    src: (B, T, D); time_emb: (B, D) or None.
+    """
+    src_orig = src
+    attn_weights = _attention_weights(
+        p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask
+    )
+
+    te = None if time_emb is None else time_emb[:, None, :].astype(src.dtype)
+    if te is not None:
+        src = src + te
+    src = src + _feedforward(p["feed_forward1"], src)
+    src = src + _nonlin_attention(p["nonlin_attention"], src, attn_weights[:, 0])
+    src = src + _self_attention(p["self_attn1"], cfg, src, attn_weights)
+    if cfg.use_conv:
+        if te is not None:
+            src = src + te
+        src = src + _conv_module(p["conv_module1"], src, key_padding_mask)
+    src = src + _feedforward(p["feed_forward2"], src)
+    src = _bypass(p["bypass_mid"], src_orig, src)
+    src = src + _self_attention(p["self_attn2"], cfg, src, attn_weights)
+    if cfg.use_conv:
+        if te is not None:
+            src = src + te
+        src = src + _conv_module(p["conv_module2"], src, key_padding_mask)
+    src = src + _feedforward(p["feed_forward3"], src)
+    src = bias_norm(src, p["norm"]["bias"], p["norm"]["log_scale"])
+    src = _bypass(p["bypass"], src_orig, src)
+    return src
+
+
+def _encoder_stack(
+    p: Params,
+    cfg: ZipformerConfig,
+    stack: int,
+    src: jax.Array,
+    time_emb: Optional[jax.Array],
+    key_padding_mask: Optional[jax.Array],
+) -> jax.Array:
+    """Zipformer2Encoder forward (ref zipformer.py:702-744).  src: (B, T, D)."""
+    t = src.shape[1]
+    pos_emb = compact_rel_positional_encoding(t, cfg.pos_dim)
+    if cfg.use_time_embed:
+        assert time_emb is not None
+        stack_time_emb = linear(p["time_emb"]["1"], swoosh_r(time_emb))
+    else:
+        stack_time_emb = None
+    out = src
+    num_layers = cfg.num_encoder_layers[stack]
+    for i in range(num_layers):
+        out = _encoder_layer(
+            p["layers"][str(i)], cfg, out, pos_emb, stack_time_emb, key_padding_mask
+        )
+    return out
+
+
+def _downsample(p: Params, src: jax.Array, ds: int) -> jax.Array:
+    """SimpleDownsample: softmax-weighted within-group average over time,
+    right-padding with the last frame (ref zipformer.py:887-913).  (B,T,C)."""
+    b, t, c = src.shape
+    d_t = (t + ds - 1) // ds
+    pad = d_t * ds - t
+    if pad > 0:
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[:, -1:, :], (b, pad, c))], axis=1
+        )
+    src = src.reshape(b, d_t, ds, c)
+    weights = jax.nn.softmax(p["bias"].astype(jnp.float32)).astype(src.dtype)
+    return jnp.einsum("btdc,d->btc", src, weights, preferred_element_type=src.dtype)
+
+
+def _upsample(src: jax.Array, ds: int, out_len: int) -> jax.Array:
+    """SimpleUpsample (repeat) + crop (ref zipformer.py:925-935, 866-868)."""
+    b, t, c = src.shape
+    up = jnp.broadcast_to(src[:, :, None, :], (b, t, ds, c)).reshape(b, t * ds, c)
+    return up[:, :out_len]
+
+
+def _downsampled_encoder_stack(
+    p: Params,
+    cfg: ZipformerConfig,
+    stack: int,
+    src: jax.Array,
+    time_emb: Optional[jax.Array],
+    key_padding_mask: Optional[jax.Array],
+) -> jax.Array:
+    """DownsampledZipformer2Encoder forward (ref zipformer.py:823-870)."""
+    ds = cfg.downsampling_factor[stack]
+    src_orig = src
+    x = _downsample(p["downsample"], src, ds)
+    mask = None if key_padding_mask is None else key_padding_mask[:, ::ds]
+    x = _encoder_stack(p["encoder"], cfg, stack, x, time_emb, mask)
+    x = _upsample(x, ds, src.shape[1])
+    return _bypass(p["out_combiner"], src_orig, x)
+
+
+def tts_zipformer_forward(
+    p: Params,
+    cfg: ZipformerConfig,
+    x: jax.Array,
+    t: Optional[jax.Array] = None,
+    padding_mask: Optional[jax.Array] = None,
+    guidance_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """TTSZipformer forward (ref zipformer.py:242-293).
+
+    Args:
+      x: (B, T, in_dim) input.
+      t: (B,) diffusion timestep in [0, 1], or None if use_time_embed=False.
+      padding_mask: (B, T) bool, True = padded.
+      guidance_scale: (B,) guidance scale (distill variant only).
+
+    Returns: (B, T, out_dim).
+    """
+    h = linear(p["in_proj"], x)
+
+    if t is not None:
+        time_emb = timestep_embedding(t, cfg.time_embed_dim).astype(x.dtype)
+        if guidance_scale is not None:
+            gs_emb = timestep_embedding(
+                guidance_scale, cfg.guidance_scale_embed_dim
+            ).astype(x.dtype)
+            time_emb = time_emb + linear(p["guidance_scale_embed"], gs_emb)
+        # Sequential(Linear, SwooshR, Linear) (ref zipformer.py:224-228)
+        time_emb = linear(
+            p["time_embed"]["2"], swoosh_r(linear(p["time_embed"]["0"], time_emb))
+        )
+    else:
+        time_emb = None
+
+    for i in range(cfg.num_stacks):
+        sp = p["encoders"][str(i)]
+        if cfg.downsampling_factor[i] == 1:
+            h = _encoder_stack(sp, cfg, i, h, time_emb, padding_mask)
+        else:
+            h = _downsampled_encoder_stack(sp, cfg, i, h, time_emb, padding_mask)
+
+    return linear(p["out_proj"], h)
