@@ -1,0 +1,159 @@
+"""STFT/ISTFT and mel-frontend tests.
+
+torch.stft (core torch, no torchaudio needed) is the oracle for the
+transform; the mel filterbanks are validated against their defining
+mathematical properties and the composed pipelines against a torch.stft
+re-implementation of the reference extractors (feature.py:47-60,
+_bigvgan_mel_feature.py:89-109).
+"""
+
+import numpy as np
+import pytest
+
+from zipvoice_tpu.audio.mel import (
+    bigvgan_log_mel,
+    compute_num_frames,
+    extract_features,
+    mel_filterbank,
+    vocos_log_mel,
+)
+from zipvoice_tpu.audio.stft import hann_window, istft, stft_complex, stft_magnitude
+from zipvoice_tpu.config import FeatureConfig
+
+torch = pytest.importorskip("torch")
+
+
+def _rand_wav(n, seed=0, channels=None):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if channels is None else (channels, n)
+    return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+
+def test_hann_window_matches_torch():
+    np.testing.assert_allclose(
+        hann_window(1024), torch.hann_window(1024).numpy(), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("center", [True, False])
+def test_stft_matches_torch(center):
+    n_fft, hop = 256, 64
+    wav = _rand_wav(2000)
+    ref = torch.stft(
+        torch.from_numpy(wav),
+        n_fft,
+        hop_length=hop,
+        window=torch.hann_window(n_fft),
+        center=center,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    re, im = stft_complex(wav, n_fft, hop, hann_window(n_fft), center=center)
+    # torch returns (freq, frames); ours (frames, freq)
+    np.testing.assert_allclose(np.asarray(re).T, ref.real.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(im).T, ref.imag.numpy(), atol=2e-4)
+    mag = stft_magnitude(wav, n_fft, hop, hann_window(n_fft), center=center)
+    np.testing.assert_allclose(np.asarray(mag).T, ref.abs().numpy(), atol=2e-4)
+
+
+def test_istft_matches_torch():
+    n_fft, hop = 256, 64
+    wav = _rand_wav(1984, seed=3)
+    spec = torch.stft(
+        torch.from_numpy(wav), n_fft, hop_length=hop,
+        window=torch.hann_window(n_fft), center=True, return_complex=True,
+    )
+    ref = torch.istft(
+        spec, n_fft, hop_length=hop, window=torch.hann_window(n_fft),
+        center=True,
+    ).numpy()
+    re, im = np.asarray(spec.real).T, np.asarray(spec.imag).T
+    out = np.asarray(istft(re, im, n_fft, hop, hann_window(n_fft), center=True))
+    n = min(len(out), len(ref))
+    np.testing.assert_allclose(out[:n], ref[:n], atol=2e-4)
+
+
+def test_stft_istft_roundtrip():
+    n_fft, hop = 1024, 256
+    wav = _rand_wav(256 * 40, seed=1)
+    re, im = stft_complex(wav, n_fft, hop, hann_window(n_fft), center=True)
+    rec = np.asarray(istft(np.asarray(re), np.asarray(im), n_fft, hop,
+                           hann_window(n_fft), center=True))
+    n = min(len(rec), len(wav))
+    np.testing.assert_allclose(rec[:n], wav[:n], atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    # HTK scale, no norm (torchaudio defaults used by VocosFbank)
+    fb = mel_filterbank(24000, 1024, 100, scale="htk", norm=None)
+    assert fb.shape == (513, 100)
+    assert fb.min() >= 0.0
+    # every filter has nonzero support and peak <= 1 (triangles, no norm)
+    assert (fb.sum(0) > 0).all()
+    assert fb.max() <= 1.0 + 1e-6
+    # Slaney scale + norm (librosa defaults used by BigVGANFbank)
+    fbs = mel_filterbank(24000, 1024, 100, scale="slaney", norm="slaney")
+    assert fbs.shape == (513, 100)
+    # slaney-normed filter areas ~ equal (discretized triangles): area ~= 1
+    df = 24000 / 2 / 512
+    areas = fbs.sum(0) * df
+    assert abs(areas.mean() - 1.0) < 0.02
+    assert np.abs(areas - 1.0).max() < 0.2
+
+
+def test_vocos_log_mel_matches_torch_composition():
+    """Oracle: torch.stft + the same HTK filterbank == torchaudio
+    MelSpectrogram(power=1, center=True) as used by VocosFbank."""
+    cfg = FeatureConfig()
+    wav = _rand_wav(24000, seed=2)
+    spec = torch.stft(
+        torch.from_numpy(wav), cfg.n_fft, hop_length=cfg.hop_length,
+        window=torch.hann_window(cfg.n_fft), center=True, pad_mode="reflect",
+        normalized=False, onesided=True, return_complex=True,
+    ).abs()
+    fb = torch.from_numpy(mel_filterbank(24000, 1024, 100, scale="htk"))
+    ref = torch.log(torch.clamp(fb.T @ spec, min=1e-7)).numpy()  # (M, F)
+    out = np.asarray(vocos_log_mel(wav, cfg))  # (F, M)
+    np.testing.assert_allclose(out.T, ref, atol=2e-4)
+
+
+def test_bigvgan_log_mel_matches_reference_composition():
+    """Oracle: the exact op sequence of _bigvgan_mel_feature.mel_spectrogram
+    (manual pad, center=False, sqrt(power+1e-9), slaney fb, log clamp 1e-5)."""
+    cfg = FeatureConfig(type="bigvgan")
+    wav = _rand_wav(24000, seed=4)
+    pad = (cfg.n_fft - cfg.hop_length) // 2
+    y = torch.nn.functional.pad(
+        torch.from_numpy(wav)[None, None], (pad, pad), mode="reflect"
+    )[0, 0]
+    spec = torch.stft(
+        y, cfg.n_fft, hop_length=cfg.hop_length,
+        window=torch.hann_window(cfg.n_fft), center=False,
+        normalized=False, onesided=True, return_complex=True,
+    )
+    spec = torch.sqrt(torch.view_as_real(spec).pow(2).sum(-1) + 1e-9)
+    fb = torch.from_numpy(
+        mel_filterbank(24000, 1024, 100, scale="slaney", norm="slaney")
+    )
+    ref = torch.log(torch.clamp(fb.T @ spec, min=1e-5)).numpy()
+    out = np.asarray(bigvgan_log_mel(wav, cfg))
+    np.testing.assert_allclose(out.T, ref, atol=2e-4)
+
+
+def test_extract_features_shapes_and_frames():
+    cfg = FeatureConfig()
+    for n in [24000, 24000 + 100, 24000 - 100]:
+        feats = np.asarray(extract_features(_rand_wav(n, seed=5), cfg))
+        assert feats.shape == (compute_num_frames(n, cfg.hop_length), 100)
+    # stereo 2-channel concat
+    feats2 = np.asarray(
+        extract_features(_rand_wav(24000, seed=6, channels=2), cfg, num_channels=2)
+    )
+    assert feats2.shape == (compute_num_frames(24000, 256), 200)
+    # stereo downmix
+    w = _rand_wav(24000, seed=7, channels=2)
+    a = np.asarray(extract_features(w, cfg, num_channels=1))
+    b = np.asarray(extract_features(w.mean(0), cfg, num_channels=1))
+    np.testing.assert_allclose(a, b, atol=1e-5)
