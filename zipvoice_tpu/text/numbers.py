@@ -1,0 +1,160 @@
+"""Self-contained number verbalization (English + Chinese).
+
+Replaces the reference's `inflect` / `cn2an` dependencies
+(ref: zipvoice/tokenizer/normalizer.py:4-5) with dependency-free
+implementations producing the same style of output:
+
+* English follows inflect.number_to_words conventions used at
+  normalizer.py:122-142 (group commas, hyphenated tens, andword="",
+  group=2 year style with zero="oh");
+* Chinese follows cn2an "an2cn" conventions (万/亿 grouping, 点 decimals).
+"""
+
+from __future__ import annotations
+
+_UNITS = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [
+    (10**12, "trillion"),
+    (10**9, "billion"),
+    (10**6, "million"),
+    (10**3, "thousand"),
+]
+
+_ORDINAL_IRREGULAR = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _two_digits(n: int, zero: str = "zero") -> str:
+    if n == 0:
+        return zero
+    if n < 20:
+        return _UNITS[n]
+    tens, unit = divmod(n, 10)
+    return _TENS[tens] + ("-" + _UNITS[unit] if unit else "")
+
+
+def _three_digits(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    parts = []
+    if hundreds:
+        parts.append(_UNITS[hundreds] + " hundred")
+    if rest:
+        parts.append(_two_digits(rest))
+    return " ".join(parts)
+
+
+def number_to_words(n: int) -> str:
+    """Integer -> English words, inflect style with group commas:
+    1234567 -> 'one million, two hundred thirty-four thousand,
+    five hundred sixty-seven'."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale, name in _SCALES:
+        if n >= scale:
+            count, n = divmod(n, scale)
+            parts.append(_three_digits(count) + " " + name)
+    if n:
+        parts.append(_three_digits(n))
+    return ", ".join(parts)
+
+
+def number_to_words_year(n: int) -> str:
+    """Two-digit-grouped reading with 'oh' for zero digits:
+    1905 -> 'nineteen oh five' (inflect group=2, zero='oh')."""
+    hi, lo = divmod(n, 100)
+    lo_words = _two_digits(lo, zero="oh")
+    if 0 < lo < 10:
+        lo_words = "oh " + lo_words  # leading zero digit is pronounced
+    return _two_digits(hi, zero="oh") + " " + lo_words
+
+
+def ordinalize_words(words: str) -> str:
+    """'twenty-five' -> 'twenty-fifth'; 'twenty' -> 'twentieth'."""
+    # ordinalize only the final word/hyphen-part
+    def ord_word(w: str) -> str:
+        if w in _ORDINAL_IRREGULAR:
+            return _ORDINAL_IRREGULAR[w]
+        if w.endswith("y"):
+            return w[:-1] + "ieth"
+        return w + "th"
+
+    if "-" in words.split(" ")[-1]:
+        head, _, last = words.rpartition("-")
+        return head + "-" + ord_word(last)
+    head, _, last = words.rpartition(" ")
+    return (head + " " if head else "") + ord_word(last)
+
+
+def number_to_ordinal_words(n: int) -> str:
+    return ordinalize_words(number_to_words(n))
+
+
+# ---------------------------------------------------------------------------
+# Chinese
+# ---------------------------------------------------------------------------
+
+_CN_DIGITS = "零一二三四五六七八九"
+_CN_UNITS = ["", "十", "百", "千"]
+_CN_GROUPS = ["", "万", "亿", "万亿"]
+
+
+def _cn_four_digits(n: int) -> str:
+    """0 < n < 10000 -> Chinese, with interior zeros collapsed."""
+    s = ""
+    zero_pending = False
+    for pos in range(3, -1, -1):
+        d = (n // 10**pos) % 10
+        if d == 0:
+            if s:
+                zero_pending = True
+            continue
+        if zero_pending:
+            s += "零"
+            zero_pending = False
+        s += _CN_DIGITS[d] + _CN_UNITS[pos]
+    return s
+
+
+def int_to_chinese(n: int) -> str:
+    """Integer -> Chinese numerals, cn2an style: 10500 -> 一万零五百."""
+    if n < 0:
+        return "负" + int_to_chinese(-n)
+    if n == 0:
+        return "零"
+    groups = []
+    while n > 0:
+        groups.append(n % 10000)
+        n //= 10000
+    s = ""
+    for i in range(len(groups) - 1, -1, -1):
+        g = groups[i]
+        if g == 0:
+            continue
+        part = _cn_four_digits(g)
+        # needs a leading 零 if a higher group exists and this group < 1000
+        if s and g < 1000:
+            s += "零"
+        s += part + _CN_GROUPS[i]
+    # cn2an writes 一十X as 十X for 10..19
+    if s.startswith("一十"):
+        s = s[1:]
+    return s
+
+
+def decimal_to_chinese(int_part: str, frac_part: str) -> str:
+    out = int_to_chinese(int(int_part)) + "点"
+    out += "".join(_CN_DIGITS[int(d)] for d in frac_part)
+    return out
