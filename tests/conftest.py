@@ -42,10 +42,28 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def _shim_missing_reference_deps():
+    """Stub the reference's unused-at-test-time imports (lhotse) so its
+    numerics modules import in this minimal environment."""
+    import types
+
+    if "lhotse" not in sys.modules:
+        try:
+            import lhotse  # noqa: F401
+        except ImportError:
+            lhotse = types.ModuleType("lhotse")
+            utils = types.ModuleType("lhotse.utils")
+            utils.fix_random_seed = lambda seed: None
+            lhotse.utils = utils
+            sys.modules["lhotse"] = lhotse
+            sys.modules["lhotse.utils"] = utils
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     if not has_reference():
         pytest.skip("reference repo not mounted")
     if str(REFERENCE) not in sys.path:
         sys.path.insert(0, str(REFERENCE))
+    _shim_missing_reference_deps()
     return REFERENCE

@@ -1,0 +1,156 @@
+"""End-to-end pipeline test with a tiny random-init model, exercising the
+full model-dir contract (torch-format checkpoint + model.json + tokens.txt),
+WAV IO, the jitted sample/vocode programs, and bucket-padding invariance."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from zipvoice_tpu.audio.vocos import VocosConfig, init_vocos
+from zipvoice_tpu.audio.wav import read_wav, resample, write_wav
+from zipvoice_tpu.config import ZipVoiceConfig
+from zipvoice_tpu.io.model_dir import load_model_dir
+from zipvoice_tpu.models import zipvoice as zv
+from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+
+torch = pytest.importorskip("torch")
+
+TINY = dict(
+    fm_decoder_downsampling_factor=(1, 2, 1),
+    fm_decoder_num_layers=(1, 1, 1),
+    fm_decoder_cnn_module_kernel=(9, 7, 9),
+    fm_decoder_feedforward_dim=128,
+    fm_decoder_num_heads=2,
+    fm_decoder_dim=64,
+    text_encoder_num_layers=1,
+    text_encoder_feedforward_dim=64,
+    text_encoder_cnn_module_kernel=5,
+    text_encoder_num_heads=2,
+    text_encoder_dim=48,
+    time_embed_dim=32,
+    text_embed_dim=48,
+    query_head_dim=8,
+    value_head_dim=8,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=20,
+)
+
+TOKENS_TXT = {"_": 0, " ": 1}
+for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+    TOKENS_TXT[ch] = i + 2
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    import jax
+
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    d = tmp_path_factory.mktemp("model")
+    write_token_file(TOKENS_TXT, str(d / "tokens.txt"))
+    model_json = {
+        "model": {k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()},
+        "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 20},
+    }
+    (d / "model.json").write_text(json.dumps(model_json))
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=len(TOKENS_TXT), pad_id=0)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in params_to_state_dict(params).items()
+    }
+    torch.save({"model": sd}, d / "model.pt")
+    return d
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((1, 4000)) * 0.2).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, 24000)
+    back, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 24000
+    np.testing.assert_allclose(back, wav, atol=1.0 / 32000)
+
+
+def test_resample_preserves_tone():
+    t = np.arange(24000) / 24000
+    wav = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
+    out = resample(wav, 24000, 16000)
+    assert out.shape == (1, 16000)
+    t2 = np.arange(16000) / 16000
+    ref = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    # interior matches a 440 Hz tone at the new rate
+    assert np.abs(out[0, 200:-200] - ref[200:-200]).max() < 0.01
+
+
+def test_pipeline_end_to_end(model_dir):
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    assert assets.model_cfg.feat_dim == 20
+    assert assets.model_cfg.vocab_size == len(TOKENS_TXT)
+
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    vocos_params = init_vocos(jax.random.PRNGKey(1), vcfg)
+
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, vocos_params=vocos_params, vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(0)
+    prompt_wav = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+
+    res = pipe.synthesize(
+        text="hello world", prompt_text="hi there", prompt_wav=prompt_wav,
+        prompt_sr=24000, num_step=2, guidance_scale=1.0,
+    )
+    assert res.wav.ndim == 1 and len(res.wav) > 0
+    assert np.isfinite(res.wav).all()
+    assert np.abs(res.wav).max() <= 1.0
+    assert res.features.shape[-1] == 100 or res.features.shape[-1] == 20
+    assert {"rtf", "rtf_no_vocoder", "rtf_vocoder"} <= set(res.metrics)
+
+
+def test_bucket_padding_invariance(model_dir):
+    """Padding T/S up to buckets must not change the generated mel except for
+    the downsample-boundary tail frames (same leak exists in the reference's
+    batched padding, SimpleDownsample right-pad, ref zipformer.py:897-901)."""
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    pipe_a = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, tokenizer=assets.tokenizer,
+        token_bucket=1, frame_bucket=1,
+    )
+    pipe_b = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, tokenizer=assets.tokenizer,
+        token_bucket=16, frame_bucket=64,
+    )
+    rng = np.random.default_rng(1)
+    tokens = [3, 4, 5, 6, 3, 9]
+    prompt_tokens = [5, 6]
+    prompt_feats = (rng.standard_normal((11, 20)) * 0.1).astype(np.float32)
+    noise = rng.standard_normal((1, 512, 20)).astype(np.float32)
+
+    mel_a, len_a = pipe_a.sample_features(
+        tokens, prompt_tokens, prompt_feats, num_step=2, guidance_scale=1.0,
+        noise=noise.copy(),
+    )
+    mel_b, len_b = pipe_b.sample_features(
+        tokens, prompt_tokens, prompt_feats, num_step=2, guidance_scale=1.0,
+        noise=noise.copy(),
+    )
+    assert len_a == len_b
+    core = slice(0, len_a - 8)
+    err = np.abs(mel_a[core] - mel_b[core]).max()
+    assert err < 1e-3, f"bucket variance {err}"

@@ -1,0 +1,178 @@
+"""Zero-shot TTS inference CLI — parity with `zipvoice.bin.infer_zipvoice`.
+
+Usage (single sentence):
+  python -m zipvoice_tpu.bin.infer_zipvoice \
+      --model-name zipvoice --model-dir exp/zipvoice \
+      --vocoder-path vocos/pytorch_model.bin \
+      --prompt-wav prompt.wav --prompt-text "..." --text "..." \
+      --res-wav-path out.wav
+
+Batch mode mirrors the reference TSV contract (`name\\tprompt_text\\t
+prompt_wav\\ttext` per line) via --test-list/--res-dir
+(ref zipvoice/bin/infer_zipvoice.py:420-470).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model-name", type=str, default="zipvoice",
+                        choices=["zipvoice", "zipvoice_distill"],
+                        help="The model used for inference")
+    parser.add_argument("--model-dir", type=str, default=None,
+                        help="Model dir with checkpoint, model.json, tokens.txt; "
+                             "downloads from HF when unset (needs network)")
+    parser.add_argument("--checkpoint-name", type=str, default="model.pt",
+                        help="The name of model checkpoint")
+    parser.add_argument("--vocoder-path", type=str, default=None,
+                        help="Vocos vocoder checkpoint (pytorch_model.bin / "
+                             ".safetensors); downloads from HF when unset")
+    parser.add_argument("--tokenizer", type=str, default="emilia",
+                        help="Tokenizer type")
+    parser.add_argument("--lang", type=str, default="en-us",
+                        help="Language identifier for the espeak tokenizer")
+    parser.add_argument("--test-list", type=str, default=None,
+                        help="TSV of name\\tprompt_text\\tprompt_wav\\ttext")
+    parser.add_argument("--prompt-wav", type=str, default=None,
+                        help="The prompt wav to mimic")
+    parser.add_argument("--prompt-text", type=str, default=None,
+                        help="The transcription of the prompt wav")
+    parser.add_argument("--text", type=str, default=None,
+                        help="The text to synthesize")
+    parser.add_argument("--res-dir", type=str, default="results",
+                        help="Output dir for --test-list mode")
+    parser.add_argument("--res-wav-path", type=str, default="result.wav",
+                        help="Output wav for single-sentence mode")
+    parser.add_argument("--guidance-scale", type=float, default=None,
+                        help="Classifier-free guidance scale "
+                             "(default: per-model)")
+    parser.add_argument("--num-step", type=int, default=None,
+                        help="Number of sampling steps (default: per-model)")
+    parser.add_argument("--feat-scale", type=float, default=0.1,
+                        help="The scale factor of fbank feature")
+    parser.add_argument("--feat-bias", type=float, default=0.0,
+                        help="The bias added to fbank feature")
+    parser.add_argument("--speed", type=float, default=1.0,
+                        help="Speech speed control (>1 speeds up)")
+    parser.add_argument("--t-shift", type=float, default=0.5,
+                        help="Timestep shift toward low SNR if < 1.0")
+    parser.add_argument("--target-rms", type=float, default=0.1,
+                        help="Prompt RMS normalization target (0 disables)")
+    parser.add_argument("--seed", type=int, default=666, help="Random seed")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="On-device compute dtype")
+    return parser
+
+
+def load_vocoder_params(path: str | None):
+    from zipvoice_tpu.audio.vocos import load_vocos_params
+    from zipvoice_tpu.io.checkpoint import load_torch_state_dict
+
+    if path is None:
+        from huggingface_hub import hf_hub_download
+
+        path = hf_hub_download("charactr/vocos-mel-24khz", "pytorch_model.bin")
+    return load_vocos_params(load_torch_state_dict(path))
+
+
+def build_pipeline(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.io.model_dir import load_model_dir
+    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+
+    assets = load_model_dir(
+        model_dir=args.model_dir,
+        model_name=args.model_name,
+        checkpoint_name=args.checkpoint_name,
+        tokenizer_name=args.tokenizer,
+        lang=args.lang,
+    )
+    feat_cfg = dataclasses.replace(
+        assets.feat_cfg, feat_scale=args.feat_scale, feat_bias=args.feat_bias
+    )
+    vocos_params = load_vocoder_params(args.vocoder_path)
+    pipeline = ZipVoicePipeline(
+        params=assets.params,
+        model_cfg=assets.model_cfg,
+        feat_cfg=feat_cfg,
+        vocos_params=vocos_params,
+        tokenizer=assets.tokenizer,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        distill=assets.defaults["distill"],
+    )
+    defaults = assets.defaults
+    num_step = args.num_step if args.num_step is not None else defaults["num_step"]
+    gs = (
+        args.guidance_scale
+        if args.guidance_scale is not None
+        else defaults["guidance_scale"]
+    )
+    return pipeline, num_step, gs
+
+
+def main():
+    args = get_parser().parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from zipvoice_tpu.audio.wav import read_wav, write_wav
+
+    pipeline, num_step, guidance_scale = build_pipeline(args)
+    sr = pipeline.feat_cfg.sampling_rate
+
+    def synth_one(prompt_text, prompt_wav_path, text, out_path):
+        wav, wav_sr = read_wav(prompt_wav_path)
+        res = pipeline.synthesize(
+            text=text, prompt_text=prompt_text, prompt_wav=wav, prompt_sr=wav_sr,
+            num_step=num_step, guidance_scale=guidance_scale, speed=args.speed,
+            t_shift=args.t_shift, target_rms=args.target_rms, seed=args.seed,
+        )
+        write_wav(out_path, res.wav, sr)
+        logging.info(
+            "%s: %.2fs audio, rtf %.4f (model %.4f, vocoder %.4f)",
+            out_path, res.metrics["wav_seconds"], res.metrics["rtf"],
+            res.metrics["rtf_no_vocoder"], res.metrics["rtf_vocoder"],
+        )
+        return res.metrics
+
+    if args.test_list is not None:
+        os.makedirs(args.res_dir, exist_ok=True)
+        all_metrics = []
+        with open(args.test_list, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                name, prompt_text, prompt_wav_path, text = line.strip().split("\t")[:4]
+                out = Path(args.res_dir) / f"{name}.wav"
+                all_metrics.append(
+                    synth_one(prompt_text, prompt_wav_path, text, str(out))
+                )
+        if all_metrics:
+            tot = {
+                k: sum(m[k] for m in all_metrics) for k in all_metrics[0]
+            }
+            logging.info(
+                "Average RTF: %.4f (model %.4f, vocoder %.4f) over %.2fs audio",
+                tot["t"] / tot["wav_seconds"],
+                tot["t_no_vocoder"] / tot["wav_seconds"],
+                tot["t_vocoder"] / tot["wav_seconds"],
+                tot["wav_seconds"],
+            )
+    else:
+        assert args.prompt_wav and args.prompt_text is not None and args.text, (
+            "need --prompt-wav, --prompt-text and --text (or --test-list)"
+        )
+        synth_one(args.prompt_text, args.prompt_wav, args.text, args.res_wav_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Zero-shot TTS inference pipeline: tokenize -> fbank -> ODE -> vocoder.
+
+The device path is two jitted XLA programs cached per shape bucket:
+
+  1. sample_fn(S, T):   text embed + text encoder + duration expansion +
+                        N-step CFG Euler ODE + prompt strip (roll+mask)
+  2. vocode_fn(T):      Vocos ConvNeXt + ISTFT
+
+Everything dynamic (token counts, frame counts, prompt lengths) is carried
+as scalar arrays over padded, bucketed shapes, so the compile cache stays
+small and the hot path is pure compiled code.  Equivalent of the reference's
+generate_sentence (ref zipvoice/bin/infer_zipvoice.py:276-401) including the
+RMS normalization and feat scale/bias handling and per-phase RTF metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zipvoice_tpu.audio.mel import extract_features
+from zipvoice_tpu.audio.vocos import VocosConfig, vocos_decode
+from zipvoice_tpu.audio.wav import resample
+from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
+from zipvoice_tpu.models import zipvoice as zv
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray  # (L,) float32
+    features: np.ndarray  # (T_gen, F) generated mel (model scale removed)
+    metrics: Dict[str, float]
+
+
+class ZipVoicePipeline:
+    """Host-side orchestration around the two jitted programs."""
+
+    def __init__(
+        self,
+        params: Dict,
+        model_cfg: ZipVoiceConfig,
+        feat_cfg: FeatureConfig,
+        vocos_params: Optional[Dict] = None,
+        vocos_cfg: VocosConfig = VocosConfig(),
+        tokenizer=None,
+        dtype=jnp.float32,
+        distill: bool = False,
+        token_bucket: int = 32,
+        frame_bucket: int = 128,
+    ):
+        self.params = jax.device_put(
+            jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        )
+        self.vocos_params = (
+            None
+            if vocos_params is None
+            else jax.device_put(jax.tree.map(lambda a: jnp.asarray(a, dtype), vocos_params))
+        )
+        self.model_cfg = model_cfg
+        self.feat_cfg = feat_cfg
+        self.vocos_cfg = vocos_cfg
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.distill = distill
+        self.token_bucket = token_bucket
+        self.frame_bucket = frame_bucket
+
+    # ------------------------------------------------------------------ jits
+
+    @functools.lru_cache(maxsize=32)
+    def _sample_fn(self, num_step: int, guidance_scale: float, t_shift: float):
+        cfg = self.model_cfg
+        distill = self.distill
+        feat_scale, feat_bias = self.feat_cfg.feat_scale, self.feat_cfg.feat_bias
+
+        @jax.jit
+        def run(params, tokens_padded, tokens_lens, prompt_features,
+                prompt_features_lens, features_lens, noise):
+            x1 = zv.sample(
+                params, cfg, tokens_padded, tokens_lens, prompt_features,
+                prompt_features_lens, features_lens, noise,
+                num_step=num_step, guidance_scale=guidance_scale,
+                t_shift=t_shift, distill=distill,
+            )
+            # strip prompt: roll generated region to the front, zero the rest
+            # (mask-based equivalent of ref zipvoice.py:469-484)
+            t = x1.shape[1]
+            gen_lens = features_lens - prompt_features_lens
+            x_gen = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(
+                x1, prompt_features_lens
+            )
+            frame_idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+            valid = frame_idx < gen_lens[:, None]
+            x_gen = jnp.where(valid[:, :, None], x_gen, 0.0)
+            # undo model feature scaling (ref infer_zipvoice.py:374)
+            mel = x_gen / feat_scale - feat_bias
+            return mel, gen_lens
+
+        return run
+
+    @functools.lru_cache(maxsize=8)
+    def _vocode_fn(self):
+        vcfg = self.vocos_cfg
+
+        @jax.jit
+        def run(vparams, mel):
+            return vocos_decode(vparams, mel, vcfg)
+
+        return run
+
+    @functools.lru_cache(maxsize=8)
+    def _extract_fn(self, num_samples: int):
+        fcfg = self.feat_cfg
+
+        @jax.jit
+        def run(wav):
+            feats = extract_features(wav, fcfg)
+            return (feats + fcfg.feat_bias) * fcfg.feat_scale
+
+        return run
+
+    # ------------------------------------------------------------------ api
+
+    def prompt_features(self, prompt_wav: np.ndarray, sr: int,
+                        target_rms: float = 0.1) -> Tuple[np.ndarray, float]:
+        """Resample + RMS-normalize + fbank the prompt
+        (ref infer_zipvoice.py:332-349).  Returns ((Tp, F), prompt_rms)."""
+        wav = np.asarray(prompt_wav, np.float32)
+        if wav.ndim == 1:
+            wav = wav[None, :]
+        if sr != self.feat_cfg.sampling_rate:
+            wav = resample(wav, sr, self.feat_cfg.sampling_rate)
+        prompt_rms = float(np.sqrt(np.mean(np.square(wav))))
+        if prompt_rms < target_rms:
+            wav = wav * (target_rms / prompt_rms)
+        feats = self._extract_fn(wav.shape[-1])(jnp.asarray(wav, self.dtype))
+        return np.asarray(feats), prompt_rms
+
+    def synthesize(
+        self,
+        text: str,
+        prompt_text: str,
+        prompt_wav: np.ndarray,
+        prompt_sr: int,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        seed: int = 666,
+    ) -> SynthesisResult:
+        assert self.tokenizer is not None, "pipeline needs a tokenizer"
+        t0 = time.monotonic()
+        tokens = self.tokenizer.texts_to_token_ids([text])[0]
+        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+        pf, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
+
+        mel, gen_len = self.sample_features(
+            tokens, prompt_tokens, pf, num_step=num_step,
+            guidance_scale=guidance_scale, speed=speed, t_shift=t_shift,
+            seed=seed,
+        )
+        t1 = time.monotonic()
+
+        wav = self.vocode(mel, gen_len)
+        if prompt_rms < target_rms:
+            wav = wav * (prompt_rms / target_rms)
+        t2 = time.monotonic()
+
+        wav_seconds = wav.shape[-1] / self.feat_cfg.sampling_rate
+        metrics = {
+            "t": t2 - t0,
+            "t_no_vocoder": t1 - t0,
+            "t_vocoder": t2 - t1,
+            "wav_seconds": wav_seconds,
+            "rtf": (t2 - t0) / wav_seconds,
+            "rtf_no_vocoder": (t1 - t0) / wav_seconds,
+            "rtf_vocoder": (t2 - t1) / wav_seconds,
+        }
+        return SynthesisResult(wav=wav, features=mel[:gen_len], metrics=metrics)
+
+    def sample_features(
+        self,
+        tokens,
+        prompt_tokens,
+        prompt_feats: np.ndarray,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        seed: int = 666,
+        noise: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, int]:
+        """Run the jitted ODE program.  Returns ((T_bucket, F) mel, gen_len)."""
+        cat_tokens = list(prompt_tokens) + list(tokens)
+        prompt_len_frames = prompt_feats.shape[0]
+        total_frames = int(
+            zv.predict_features_lens(
+                np.array([prompt_len_frames]),
+                np.array([max(len(prompt_tokens), 1)]),
+                np.array([len(tokens)]),
+                speed=speed,
+            )[0]
+        )
+
+        s_pad = round_up(len(cat_tokens) + 1, self.token_bucket)
+        t_pad = round_up(total_frames, self.frame_bucket)
+
+        tokens_padded = np.full((1, s_pad), self.model_cfg.pad_id, np.int32)
+        row = list(cat_tokens) + [self.model_cfg.pad_id]
+        tokens_padded[0, : len(row)] = row
+        tokens_lens = np.array([len(cat_tokens)], np.int32)
+
+        pf = np.zeros((1, t_pad, prompt_feats.shape[-1]), np.float32)
+        pf[0, :prompt_len_frames] = prompt_feats
+        if noise is None:
+            noise = np.asarray(
+                jax.random.normal(
+                    jax.random.PRNGKey(seed), (1, t_pad, self.model_cfg.feat_dim),
+                    self.dtype,
+                )
+            )
+        elif noise.shape[1] < t_pad:
+            noise = np.concatenate(
+                [noise, np.zeros((1, t_pad - noise.shape[1], noise.shape[-1]),
+                                 np.float32)], axis=1,
+            )
+        else:
+            noise = noise[:, :t_pad]
+
+        run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
+        mel, gen_lens = run(
+            self.params,
+            jnp.asarray(tokens_padded),
+            jnp.asarray(tokens_lens),
+            jnp.asarray(pf, self.dtype),
+            jnp.asarray([prompt_len_frames], jnp.int32),
+            jnp.asarray([total_frames], jnp.int32),
+            jnp.asarray(noise, self.dtype),
+        )
+        return np.asarray(mel[0]), int(gen_lens[0])
+
+    def vocode(self, mel: np.ndarray, gen_len: int) -> np.ndarray:
+        """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""
+        assert self.vocos_params is not None, "pipeline needs vocoder weights"
+        wav = self._vocode_fn()(self.vocos_params, jnp.asarray(mel, self.dtype)[None])
+        wav = np.asarray(wav[0], np.float32)
+        out_len = max(gen_len - 1, 1) * self.vocos_cfg.hop_length
+        return np.clip(wav[:out_len], -1.0, 1.0)
