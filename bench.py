@@ -1,0 +1,101 @@
+"""End-to-end inference benchmark on real hardware.
+
+Measures RTF of the flagship config: ZipVoice 123M, 16-step Euler with CFG,
+~10 s of 24 kHz audio (938 mel frames), text encoder + ODE + Vocos vocoder,
+bf16 — the BASELINE.md target is RTF <= 0.05 on one v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = target / value  (>1 means faster than the 0.05-RTF target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_RTF = 0.05
+SECONDS_OF_AUDIO = 10.0
+NUM_STEP = 16
+GUIDANCE = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.audio.vocos import init_vocos
+    from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
+    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+
+    dtype = jnp.bfloat16
+    cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
+    feat_cfg = FeatureConfig()
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    vocos_params = init_vocos(jax.random.PRNGKey(1))
+
+    pipe = ZipVoicePipeline(
+        params=params, model_cfg=cfg, feat_cfg=feat_cfg,
+        vocos_params=vocos_params, dtype=dtype,
+    )
+
+    frame_rate = feat_cfg.sampling_rate / feat_cfg.hop_length  # 93.75
+    total_frames = int(SECONDS_OF_AUDIO * frame_rate)  # ~938
+    prompt_frames = int(3.0 * frame_rate)
+    gen_frames = total_frames - prompt_frames
+
+    rng = np.random.default_rng(0)
+    tokens = list(rng.integers(1, cfg.vocab_size, 120))
+    # prompt token count tuned so ratio-duration prediction lands on ~10 s
+    n_prompt_tokens = max(
+        1, round(len(tokens) * prompt_frames / max(gen_frames, 1))
+    )
+    prompt_tokens = list(rng.integers(1, cfg.vocab_size, n_prompt_tokens))
+    prompt_feats = (rng.standard_normal((prompt_frames, cfg.feat_dim)) * 0.1).astype(
+        np.float32
+    )
+
+    def run():
+        t0 = time.monotonic()
+        mel, gen_len = pipe.sample_features(
+            tokens, prompt_tokens, prompt_feats, num_step=NUM_STEP,
+            guidance_scale=GUIDANCE, t_shift=0.5,
+        )
+        t1 = time.monotonic()
+        wav = pipe.vocode(mel, gen_len)
+        t2 = time.monotonic()
+        return wav, t1 - t0, t2 - t1
+
+    # warmup/compile
+    run()
+    # timed runs
+    times_model, times_voc, wav_secs = [], [], None
+    for _ in range(5):
+        wav, tm, tv = run()
+        times_model.append(tm)
+        times_voc.append(tv)
+        wav_secs = wav.shape[-1] / feat_cfg.sampling_rate
+
+    tm = float(np.median(times_model))
+    tv = float(np.median(times_voc))
+    rtf = (tm + tv) / wav_secs
+    result = {
+        "metric": "inference_rtf_zipvoice123M_16step",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(TARGET_RTF / rtf, 2),
+        "detail": {
+            "rtf_model": round(tm / wav_secs, 5),
+            "rtf_vocoder": round(tv / wav_secs, 5),
+            "wav_seconds": round(wav_secs, 2),
+            "device": str(jax.devices()[0]),
+            "dtype": "bfloat16",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

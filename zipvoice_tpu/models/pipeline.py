@@ -187,7 +187,10 @@ class ZipVoicePipeline:
             "rtf_no_vocoder": (t1 - t0) / wav_seconds,
             "rtf_vocoder": (t2 - t1) / wav_seconds,
         }
-        return SynthesisResult(wav=wav, features=mel[:gen_len], metrics=metrics)
+        return SynthesisResult(
+            wav=wav, features=np.asarray(mel[:gen_len], np.float32),
+            metrics=metrics,
+        )
 
     def sample_features(
         self,
@@ -224,11 +227,10 @@ class ZipVoicePipeline:
         pf = np.zeros((1, t_pad, prompt_feats.shape[-1]), np.float32)
         pf[0, :prompt_len_frames] = prompt_feats
         if noise is None:
-            noise = np.asarray(
-                jax.random.normal(
-                    jax.random.PRNGKey(seed), (1, t_pad, self.model_cfg.feat_dim),
-                    self.dtype,
-                )
+            # generated on device; never round-trips to host
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, t_pad, self.model_cfg.feat_dim),
+                self.dtype,
             )
         elif noise.shape[1] < t_pad:
             noise = np.concatenate(
@@ -248,9 +250,11 @@ class ZipVoicePipeline:
             jnp.asarray([total_frames], jnp.int32),
             jnp.asarray(noise, self.dtype),
         )
-        return np.asarray(mel[0]), int(gen_lens[0])
+        # mel stays on device (the vocoder consumes it there); only the tiny
+        # gen_lens scalar syncs to host.
+        return mel[0], int(gen_lens[0])
 
-    def vocode(self, mel: np.ndarray, gen_len: int) -> np.ndarray:
+    def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""
         assert self.vocos_params is not None, "pipeline needs vocoder weights"
         wav = self._vocode_fn()(self.vocos_params, jnp.asarray(mel, self.dtype)[None])

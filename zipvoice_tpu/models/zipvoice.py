@@ -85,10 +85,12 @@ def forward_fm_decoder(
     """
     x = jnp.concatenate([xt, text_condition, speech_condition], axis=-1)
     b = x.shape[0]
-    t = jnp.broadcast_to(jnp.asarray(t, x.dtype).reshape(-1), (b,))
+    # t stays float32: the sinusoidal embedding needs full timestep precision
+    # even under bf16 compute (embedding output is cast to x.dtype after).
+    t = jnp.broadcast_to(jnp.asarray(t, jnp.float32).reshape(-1), (b,))
     if guidance_scale is not None:
         guidance_scale = jnp.broadcast_to(
-            jnp.asarray(guidance_scale, x.dtype).reshape(-1), (b,)
+            jnp.asarray(guidance_scale, jnp.float32).reshape(-1), (b,)
         )
     return tts_zipformer_forward(
         params["fm_decoder"],
@@ -330,14 +332,66 @@ def euler_sample(
     t_shift: float = 1.0,
     distill: bool = False,
 ) -> jax.Array:
-    """Euler ODE integration (ref solver.py:182-240), unrolled at trace time."""
+    """Euler ODE integration (ref solver.py:182-240) as a lax.scan.
+
+    One backbone trace regardless of num_step (compile time stays flat);
+    the per-step timestep, delta and dual-condition flag (t > 0.5 drops the
+    speech condition, else doubles the scale — ref solver.py:90-98) ride in
+    as scanned scalars, selected with jnp.where.
+    """
     ts = get_time_steps(t_start, t_end, num_step, t_shift)
-    for i in range(num_step):
-        v = cfg_velocity(
-            params, cfg, float(ts[i]), x, text_condition, speech_condition,
-            padding_mask, guidance_scale, distill=distill,
+    t_steps = jnp.asarray(ts[:-1], jnp.float32)
+    dts = jnp.asarray(ts[1:] - ts[:-1], jnp.float32)
+    drop_speech = jnp.asarray(ts[:-1] > 0.5)
+
+    def integrate(xc, v, dt):
+        return xc + (v * dt.astype(v.dtype))
+
+    if distill:
+        gs = jnp.asarray(guidance_scale, jnp.float32)
+
+        def body(xc, per_step):
+            t, dt, _ = per_step
+            v = forward_fm_decoder(
+                params, cfg, t, xc, text_condition, speech_condition,
+                padding_mask, guidance_scale=gs,
+            )
+            return integrate(xc, v, dt), None
+
+    elif guidance_scale == 0.0:
+
+        def body(xc, per_step):
+            t, dt, _ = per_step
+            v = forward_fm_decoder(
+                params, cfg, t, xc, text_condition, speech_condition,
+                padding_mask,
+            )
+            return integrate(xc, v, dt), None
+
+    else:
+        # loop-invariant CFG batching, hoisted out of the scan
+        pm2 = jnp.concatenate([padding_mask, padding_mask], axis=0)
+        tc2 = jnp.concatenate(
+            [jnp.zeros_like(text_condition), text_condition], axis=0
         )
-        x = x + v * (float(ts[i + 1]) - float(ts[i]))
+        sc2_hi = jnp.concatenate(
+            [jnp.zeros_like(speech_condition), speech_condition], axis=0
+        )
+        sc2_lo = jnp.concatenate([speech_condition, speech_condition], axis=0)
+
+        def body(xc, per_step):
+            t, dt, hi = per_step
+            x2 = jnp.concatenate([xc, xc], axis=0)
+            sc2 = jnp.where(hi, sc2_hi, sc2_lo)
+            gs = jnp.where(hi, guidance_scale, 2.0 * guidance_scale).astype(
+                xc.dtype
+            )
+            v2 = forward_fm_decoder(params, cfg, t, x2, tc2, sc2, pm2)
+            v_uncond, v_cond = jnp.split(v2, 2, axis=0)
+            v = (1.0 + gs) * v_cond - gs * v_uncond
+            return integrate(xc, v, dt), None
+
+    x, _ = jax.lax.scan(body, x, (t_steps, dts, drop_speech))
     return x
 
 

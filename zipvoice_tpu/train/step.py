@@ -1,0 +1,151 @@
+"""Data-parallel flow-matching training step (single compiled program).
+
+Equivalent of the reference's inner loop (ref zipvoice/bin/train_zipvoice.py:
+498-675 / compute_fbank_loss :432-487) redesigned for TPU:
+
+* one jit covers: t/noise sampling, condition masks, text encoder, fm_decoder
+  forward, backward, ScaledAdam update — no GradScaler (bf16 needs none);
+* batch is sharded over the 1-D ``data`` mesh axis; params/optimizer state
+  are replicated; XLA inserts the gradient all-reduce over ICI from the
+  sharding annotations (the DDP/NCCL equivalent, SURVEY.md §2.10);
+* randomness is an explicit jax.random key (the reference uses global torch
+  RNG), split per step on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zipvoice_tpu.config import ZipVoiceConfig
+from zipvoice_tpu.models.zipvoice import compute_fm_loss
+from zipvoice_tpu.parallel.mesh import batch_sharding, replicated
+from zipvoice_tpu.train.lr_schedule import eden_lr, fixed_lr
+from zipvoice_tpu.train.scaled_adam import ScaledAdam, apply_updates
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    base_lr: float = 0.02
+    lr_batches: float = 7500.0
+    lr_epochs: float = 10.0
+    warmup_batches: float = 500.0
+    condition_drop_ratio: float = 0.2
+    compute_dtype: str = "bfloat16"  # "float32" | "bfloat16"
+    schedule: str = "eden"  # "eden" | "fixed"
+    remat: bool = False  # jax.checkpoint the loss for long sequences
+
+
+def make_train_step(
+    model_cfg: ZipVoiceConfig,
+    opt: ScaledAdam,
+    train_cfg: TrainConfig = TrainConfig(),
+    mesh=None,
+):
+    """Build the jitted train step.
+
+    step(params, opt_state, batch, rng, step_idx, epoch) ->
+        (params, opt_state, metrics)
+
+    batch dict: tokens (B, S) int32, tokens_lens (B,), features (B, T, F),
+    features_lens (B,).  All shapes static per bucket.
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch, rng):
+        k_t, k_noise, k_mask = jax.random.split(rng, 3)
+        features = batch["features"].astype(dtype)
+        b = features.shape[0]
+        # t ~ U(0,1) per utterance (ref train_zipvoice.py:471)
+        t = jax.random.uniform(k_t, (b, 1, 1), dtype)
+        noise = jax.random.normal(k_noise, features.shape, dtype)
+        cparams = jax.tree.map(lambda a: a.astype(dtype), params)
+        return compute_fm_loss(
+            cparams,
+            model_cfg,
+            batch["tokens"],
+            batch["tokens_lens"],
+            features,
+            batch["features_lens"],
+            noise,
+            t,
+            k_mask,
+            condition_drop_ratio=train_cfg.condition_drop_ratio,
+        )
+
+    if train_cfg.remat:
+        loss_fn = jax.checkpoint(loss_fn)
+
+    def train_step(params, opt_state, batch, rng, step_idx, epoch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        if train_cfg.schedule == "eden":
+            lr = eden_lr(
+                train_cfg.base_lr, step_idx, epoch,
+                lr_batches=train_cfg.lr_batches,
+                lr_epochs=train_cfg.lr_epochs,
+                warmup_batches=train_cfg.warmup_batches,
+            )
+        else:
+            lr = fixed_lr(train_cfg.base_lr)
+        updates, opt_state = opt.update(grads, opt_state, params, lr)
+        params = apply_updates(params, updates)
+        metrics = {"loss": loss.astype(jnp.float32), "lr": lr}
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step)
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    batch_shardings = {
+        "tokens": data, "tokens_lens": data, "features": data,
+        "features_lens": data,
+    }
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, batch_shardings, repl, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_eval_step(model_cfg: ZipVoiceConfig, train_cfg: TrainConfig = TrainConfig(),
+                   mesh=None):
+    """Validation loss, stratified over 4 fixed timesteps per utterance
+    (ref train_zipvoice.py:473-477 uses deterministic eval t)."""
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def eval_step(params, batch, rng):
+        features = batch["features"].astype(dtype)
+        b = features.shape[0]
+        cparams = jax.tree.map(lambda a: a.astype(dtype), params)
+        losses = []
+        for i, tv in enumerate((0.1, 0.35, 0.65, 0.9)):
+            k_noise, k_mask = jax.random.split(jax.random.fold_in(rng, i))
+            t = jnp.full((b, 1, 1), tv, dtype)
+            noise = jax.random.normal(k_noise, features.shape, dtype)
+            losses.append(
+                compute_fm_loss(
+                    cparams, model_cfg, batch["tokens"], batch["tokens_lens"],
+                    features, batch["features_lens"], noise, t, k_mask,
+                    condition_drop_ratio=0.0,
+                )
+            )
+        return jnp.mean(jnp.stack(losses)).astype(jnp.float32)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    batch_shardings = {
+        "tokens": data, "tokens_lens": data, "features": data,
+        "features_lens": data,
+    }
+    return jax.jit(
+        eval_step, in_shardings=(repl, batch_shardings, repl),
+        out_shardings=repl,
+    )
