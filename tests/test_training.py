@@ -1,0 +1,180 @@
+"""End-to-end training tests: data pipeline, trainer loop, checkpoints,
+averaging, resume — on the 8-device virtual CPU mesh."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
+from zipvoice_tpu.data.dataset import (
+    DurationBucketSampler,
+    OnDeviceFbankCollator,
+    read_tsv_manifest,
+)
+from zipvoice_tpu.models.zipvoice import init_zipvoice
+from zipvoice_tpu.parallel.mesh import make_mesh
+from zipvoice_tpu.text.tokenizer import SimpleTokenizer, write_token_file
+from zipvoice_tpu.train.checkpoint import (
+    average_checkpoints_with_averaged_model,
+    load_checkpoint,
+)
+from zipvoice_tpu.train.scaled_adam import scaled_adam
+from zipvoice_tpu.train.step import TrainConfig
+from zipvoice_tpu.train.trainer import Trainer, TrainerOptions
+
+TINY = dict(
+    fm_decoder_downsampling_factor=(1, 2, 1),
+    fm_decoder_num_layers=(1, 1, 1),
+    fm_decoder_cnn_module_kernel=(9, 7, 9),
+    fm_decoder_feedforward_dim=96,
+    fm_decoder_num_heads=2,
+    fm_decoder_dim=64,
+    text_encoder_num_layers=1,
+    text_encoder_feedforward_dim=48,
+    text_encoder_cnn_module_kernel=5,
+    text_encoder_num_heads=2,
+    text_encoder_dim=48,
+    time_embed_dim=32,
+    text_embed_dim=48,
+    query_head_dim=8,
+    value_head_dim=8,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=20,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic wav corpus + TSV manifest + tokens.txt."""
+    from zipvoice_tpu.audio.wav import write_wav
+
+    d = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    lines = []
+    texts = ["hello world", "abc def", "the quick brown fox", "jumps over"]
+    for i in range(8):
+        dur = rng.uniform(1.2, 2.5)
+        n = int(dur * 24000)
+        wav = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+        path = d / f"utt{i}.wav"
+        write_wav(path, wav, 24000)
+        lines.append(f"utt{i}\t{texts[i % 4]}\t{path}")
+    manifest = d / "train.tsv"
+    manifest.write_text("\n".join(lines) + "\n")
+
+    token2id = {"_": 0, " ": 1}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        token2id[ch] = i + 2
+    write_token_file(token2id, str(d / "tokens.txt"))
+    return d
+
+
+def test_manifest_and_sampler(corpus):
+    utts = read_tsv_manifest(corpus / "train.tsv")
+    assert len(utts) == 8
+    sampler = DurationBucketSampler(utts, max_duration=6.0, seed=1)
+    batches = list(sampler)
+    assert sum(len(b) for b in batches) == 8
+    for b in batches:
+        assert sum(u.duration for u in b) <= 6.0 + 3.0  # one-over allowance
+    # resume: consume 1 batch, save state, rebuild, check continuation
+    sampler.set_epoch(2)
+    it = iter(sampler)
+    first = next(it)
+    state = sampler.state_dict()
+    rest = [b for b in it]
+    sampler2 = DurationBucketSampler(utts, max_duration=6.0, seed=1)
+    sampler2.load_state_dict(state)
+    rest2 = list(sampler2)
+    assert [[u.uid for u in b] for b in rest] == [
+        [u.uid for u in b] for b in rest2
+    ]
+
+
+def test_collator_shapes(corpus):
+    utts = read_tsv_manifest(corpus / "train.tsv")[:3]
+    tok = SimpleTokenizer(str(corpus / "tokens.txt"))
+    feat_cfg = FeatureConfig(n_mels=20)
+    coll = OnDeviceFbankCollator(tok, feat_cfg, pad_id=0, frame_bucket=32,
+                                 token_bucket=8, batch_bucket=4)
+    batch = coll(utts)
+    b, t, f = batch["features"].shape
+    assert b == 4 and f == 20 and t % 32 == 0
+    assert batch["tokens"].shape[0] == 4
+    assert batch["tokens"].shape[1] % 8 == 0
+    assert (batch["features_lens"][:3] > 0).all()
+    assert batch["features_lens"][3] == 0
+    assert (batch["tokens_lens"][:3] > 0).all()
+
+
+def test_trainer_loop_and_resume(corpus, tmp_path):
+    utts = read_tsv_manifest(corpus / "train.tsv")
+    tok = SimpleTokenizer(str(corpus / "tokens.txt"))
+    feat_cfg = FeatureConfig(n_mels=20)
+    cfg = ZipVoiceConfig(**TINY, vocab_size=tok.vocab_size, pad_id=tok.pad_id)
+    # one uniform bucket shape -> a single train-step compilation
+    coll = OnDeviceFbankCollator(tok, feat_cfg, pad_id=0, frame_bucket=256,
+                                 token_bucket=32, batch_bucket=8)
+    sampler = DurationBucketSampler(utts, max_duration=12.0, seed=3)
+
+    mesh = make_mesh(n_data=8)
+    opt = scaled_adam(clipping_scale=2.0)
+
+    def build(exp_dir):
+        return Trainer(
+            model_cfg=cfg,
+            params=init_zipvoice(jax.random.PRNGKey(0), cfg),
+            opt=opt,
+            train_cfg=TrainConfig(base_lr=0.02, compute_dtype="float32"),
+            options=TrainerOptions(
+                exp_dir=str(exp_dir), save_every_n=2, keep_last_k=2,
+                average_period=2, log_interval=2, valid_interval=1000,
+            ),
+            mesh=mesh,
+        )
+
+    exp = tmp_path / "exp"
+    trainer = build(exp)
+
+    losses = []
+    for epoch in [1, 2]:
+        trainer.epoch = epoch
+        sampler.set_epoch(epoch)
+        for utt_batch in sampler:
+            m = trainer.step_and_log(coll(utt_batch),
+                                     sampler_state_fn=sampler.state_dict)
+            losses.append(float(m["loss"]))
+        trainer.save(str(exp / f"epoch-{epoch}.pt"), sampler.state_dict())
+
+    assert all(np.isfinite(losses))
+    assert (exp / "epoch-1.pt").exists() and (exp / "epoch-2.pt").exists()
+    assert (exp / f"checkpoint-{(trainer.batch_idx_train // 2) * 2}.pt").exists()
+    assert (exp / "train_log.jsonl").exists()
+
+    # averaged-model differencing between the two epoch checkpoints
+    avg = average_checkpoints_with_averaged_model(
+        str(exp / "epoch-1.pt"), str(exp / "epoch-2.pt")
+    )
+    assert "fm_decoder" in avg and "embed" in avg
+
+    # resume from epoch-2 and continue one step
+    trainer2 = build(tmp_path / "exp2")
+    sampler_state = trainer2.resume(str(exp / "epoch-2.pt"))
+    assert trainer2.batch_idx_train == trainer.batch_idx_train
+    sampler.set_epoch(3)
+    batch = coll(next(iter(sampler)))
+    m = trainer2.step_and_log(batch)
+    assert np.isfinite(float(m["loss"]))
+
+    # checkpoint roundtrip sanity: params equal after save/load
+    state = load_checkpoint(str(exp / "epoch-2.pt"))
+    a = np.asarray(state["params"]["embed"]["weight"])
+    b = np.asarray(jax.tree.leaves(trainer.params.__class__ == dict and
+                                   trainer.params["embed"]["weight"]))
+    np.testing.assert_allclose(a, np.asarray(trainer.params["embed"]["weight"]),
+                               rtol=0, atol=0)

@@ -1,0 +1,174 @@
+"""Flow-matching TTS training CLI — parity with `zipvoice.bin.train_zipvoice`.
+
+Data comes from TSV manifests (id\\ttext\\twav_path[\\tstart\\tduration]);
+fbank features are computed on device (no lhotse precompute stage).
+
+Example:
+  python -m zipvoice_tpu.bin.train_zipvoice \
+      --train-manifest data/train.tsv --dev-manifest data/dev.tsv \
+      --token-file data/tokens.txt --tokenizer emilia \
+      --model-config conf/zipvoice_base.json --exp-dir exp/zipvoice \
+      --num-epochs 11 --max-duration 250 --base-lr 0.02 --lr-hours 30000
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--train-manifest", type=str, required=True)
+    p.add_argument("--dev-manifest", type=str, default=None)
+    p.add_argument("--token-file", type=str, required=True)
+    p.add_argument("--tokenizer", type=str, default="emilia",
+                   choices=["emilia", "espeak", "dialog", "libritts", "simple"])
+    p.add_argument("--lang", type=str, default="en-us")
+    p.add_argument("--max-duration", type=float, default=200.0,
+                   help="max batch size in seconds of audio per host")
+    p.add_argument("--max-len", type=float, default=30.0,
+                   help="drop utterances longer than this (seconds)")
+    p.add_argument("--min-len", type=float, default=1.0)
+    # model
+    p.add_argument("--model-config", type=str, required=True,
+                   help="model.json (architecture + feature sections)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="initial checkpoint (e.g. for finetuning)")
+    # training
+    p.add_argument("--exp-dir", type=str, default="exp/zipvoice")
+    p.add_argument("--num-epochs", type=int, default=11)
+    p.add_argument("--start-epoch", type=int, default=1,
+                   help="resume from exp-dir/epoch-{start_epoch-1}.pt if >1")
+    p.add_argument("--base-lr", type=float, default=0.02)
+    p.add_argument("--lr-batches", type=float, default=7500)
+    p.add_argument("--lr-epochs", type=float, default=10)
+    p.add_argument("--lr-hours", type=float, default=0,
+                   help="if >0, key the Eden epoch term to hours of speech")
+    p.add_argument("--condition-drop-ratio", type=float, default=0.2)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--save-every-n", type=int, default=5000)
+    p.add_argument("--keep-last-k", type=int, default=30)
+    p.add_argument("--average-period", type=int, default=200)
+    p.add_argument("--valid-interval", type=int, default=10000)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-steps-per-epoch", type=int, default=0,
+                   help="cap steps per epoch (0 = full manifest)")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax
+
+    from zipvoice_tpu.config import load_model_json
+    from zipvoice_tpu.data.dataset import (
+        DurationBucketSampler,
+        OnDeviceFbankCollator,
+        read_tsv_manifest,
+    )
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.parallel.mesh import make_mesh
+    from zipvoice_tpu.text.tokenizer import get_tokenizer
+    from zipvoice_tpu.train.checkpoint import load_checkpoint
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.step import TrainConfig
+    from zipvoice_tpu.train.trainer import Trainer, TrainerOptions
+
+    tokenizer = get_tokenizer(args.tokenizer, args.token_file, lang=args.lang)
+    model_cfg, feat_cfg = load_model_json(
+        args.model_config, vocab_size=tokenizer.vocab_size,
+        pad_id=tokenizer.pad_id,
+    )
+
+    # data
+    train_utts = read_tsv_manifest(args.train_manifest)
+    sampler = DurationBucketSampler(
+        train_utts, max_duration=args.max_duration, max_len=args.max_len,
+        min_len=args.min_len, seed=args.seed,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    collate = OnDeviceFbankCollator(
+        tokenizer, feat_cfg, pad_id=model_cfg.pad_id
+    )
+    dev_batches = None
+    if args.dev_manifest:
+        dev_utts = read_tsv_manifest(args.dev_manifest)
+        dev_sampler = DurationBucketSampler(
+            dev_utts, max_duration=args.max_duration, shuffle=False,
+            max_len=args.max_len, min_len=args.min_len,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        dev_batches = [collate(b) for b in dev_sampler]
+
+    # model + optimizer
+    params = init_zipvoice(jax.random.PRNGKey(args.seed), model_cfg)
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, load_opt=False)["params"]
+
+    mesh = make_mesh()
+    trainer = Trainer(
+        model_cfg=model_cfg,
+        params=params,
+        opt=scaled_adam(clipping_scale=2.0),
+        train_cfg=TrainConfig(
+            base_lr=args.base_lr,
+            lr_batches=args.lr_batches,
+            lr_epochs=args.lr_epochs,
+            condition_drop_ratio=args.condition_drop_ratio,
+            compute_dtype=args.dtype,
+            schedule="eden",
+        ),
+        options=TrainerOptions(
+            exp_dir=args.exp_dir,
+            num_epochs=args.num_epochs,
+            start_epoch=args.start_epoch,
+            save_every_n=args.save_every_n,
+            keep_last_k=args.keep_last_k,
+            average_period=args.average_period,
+            valid_interval=args.valid_interval,
+            log_interval=args.log_interval,
+            seed=args.seed,
+            lr_hours=args.lr_hours,
+        ),
+        mesh=mesh,
+    )
+
+    exp = Path(args.exp_dir)
+    if args.start_epoch > 1:
+        resume_path = exp / f"epoch-{args.start_epoch - 1}.pt"
+        if resume_path.exists():
+            sampler_state = trainer.resume(str(resume_path))
+            if sampler_state:
+                sampler.load_state_dict(sampler_state)
+            logging.info("resumed from %s", resume_path)
+
+    # copy the model-dir contract files (ref train_zipvoice.py:897-899)
+    if jax.process_index() == 0:
+        exp.mkdir(parents=True, exist_ok=True)
+        (exp / "model.json").write_text(Path(args.model_config).read_text())
+        (exp / "tokens.txt").write_text(Path(args.token_file).read_text())
+
+    for epoch in range(args.start_epoch, args.num_epochs + 1):
+        trainer.epoch = epoch
+        sampler.set_epoch(epoch)
+        logging.info("epoch %d: %d batches", epoch, len(sampler))
+        for i, utts in enumerate(sampler):
+            if args.num_steps_per_epoch and i >= args.num_steps_per_epoch:
+                break
+            trainer.step_and_log(
+                collate(utts), dev_batches, sampler_state_fn=sampler.state_dict
+            )
+        trainer.save(str(exp / f"epoch-{epoch}.pt"), sampler.state_dict())
+        logging.info("saved epoch-%d.pt", epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""TPU-native data pipeline: TSV manifests -> duration-bucketed batches with
+on-device fbank extraction.
+
+Replaces the reference's lhotse stack (CutSet manifests, LilcomChunkyWriter
+feature shards, DynamicBucketingSampler — ref zipvoice/dataset/datamodule.py,
+bin/compute_fbank.py): there is no offline feature precompute; audio is
+loaded host-side, padded to a bucket, and the log-mel fbank runs inside the
+jitted input program on device (the k2/lhotse CPU pipeline has no TPU role).
+
+Manifest format matches bin/prepare_dataset.py:196-208: TSV lines of
+``id\\ttext\\twav_path`` or ``id\\ttext\\twav_path\\tstart\\tduration``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import wave
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Utterance:
+    uid: str
+    text: str
+    wav_path: str
+    start: float = 0.0
+    duration: Optional[float] = None  # seconds; probed lazily if None
+    tokens: Optional[List[int]] = None
+
+
+def read_tsv_manifest(path) -> List[Utterance]:
+    utts = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            items = line.rstrip("\n").split("\t")
+            if len(items) == 3:
+                uid, text, wav = items
+                utts.append(Utterance(uid, text, wav))
+            elif len(items) == 5:
+                uid, text, wav, start, dur = items
+                utts.append(Utterance(uid, text, wav, float(start), float(dur)))
+            elif items and items[0]:
+                raise ValueError(f"manifest line needs 3 or 5 columns: {items}")
+    return utts
+
+
+def probe_duration(utt: Utterance) -> float:
+    if utt.duration is None:
+        with wave.open(utt.wav_path, "rb") as w:
+            utt.duration = w.getnframes() / w.getframerate()
+    return utt.duration
+
+
+class DurationBucketSampler:
+    """Duration-bucketed batching (DynamicBucketingSampler equivalent,
+    ref datamodule.py:179-187): sorts a shuffled window by duration, emits
+    batches capped at `max_duration` seconds, reshuffles per epoch, shards
+    across hosts, and exposes resume state (epoch, batch cursor) like the
+    reference's sampler state in checkpoints (ref checkpoint.py:92)."""
+
+    def __init__(
+        self,
+        utterances: Sequence[Utterance],
+        max_duration: float = 200.0,
+        max_len: float = 30.0,
+        min_len: float = 1.0,
+        seed: int = 42,
+        shuffle: bool = True,
+        num_buckets: int = 30,
+        process_index: int = 0,
+        process_count: int = 1,
+        drop_last: bool = False,
+    ):
+        self.utts = [
+            u for u in utterances if min_len <= probe_duration(u) <= max_len
+        ]
+        self.max_duration = max_duration
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_buckets = num_buckets
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.batch_cursor = 0  # batches already consumed this epoch
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        self.batch_cursor = 0
+
+    def state_dict(self) -> Dict:
+        return {"epoch": self.epoch, "batch_cursor": self.batch_cursor}
+
+    def load_state_dict(self, state: Dict):
+        self.epoch = state["epoch"]
+        self.batch_cursor = state["batch_cursor"]
+
+    def _epoch_batches(self) -> List[List[Utterance]]:
+        order = np.arange(len(self.utts))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        # bucket by duration within shuffled windows: sort each window of
+        # num_buckets*capacity items so batches are duration-homogeneous but
+        # epoch order stays random
+        window = max(1, len(order) // self.num_buckets)
+        batches: List[List[Utterance]] = []
+        for w0 in range(0, len(order), window):
+            idx = sorted(
+                order[w0 : w0 + window], key=lambda i: self.utts[i].duration
+            )
+            cur: List[Utterance] = []
+            cur_dur = 0.0
+            for i in idx:
+                u = self.utts[i]
+                if cur and cur_dur + u.duration > self.max_duration:
+                    batches.append(cur)
+                    cur, cur_dur = [], 0.0
+                cur.append(u)
+                cur_dur += u.duration
+            if cur and not self.drop_last:
+                batches.append(cur)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7919 + self.epoch)
+            rng.shuffle(batches)
+        # per-host shard
+        return batches[self.process_index :: self.process_count]
+
+    def __iter__(self) -> Iterator[List[Utterance]]:
+        batches = self._epoch_batches()
+        for i in range(self.batch_cursor, len(batches)):
+            self.batch_cursor = i + 1
+            yield batches[i]
+
+    def __len__(self) -> int:
+        return len(self._epoch_batches())
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class OnDeviceFbankCollator:
+    """Collate utterances into a device batch: tokens padded host-side, audio
+    padded to a sample bucket, fbank computed on device in one jitted call,
+    features scaled to model space ((x + bias) * scale, ref common.py:238)."""
+
+    def __init__(
+        self,
+        tokenizer,
+        feat_cfg,
+        pad_id: int = 0,
+        frame_bucket: int = 64,
+        token_bucket: int = 16,
+        batch_bucket: int = 8,
+    ):
+        self.tokenizer = tokenizer
+        self.feat_cfg = feat_cfg
+        self.pad_id = pad_id
+        self.frame_bucket = frame_bucket
+        self.token_bucket = token_bucket
+        self.batch_bucket = batch_bucket
+
+    @functools.lru_cache(maxsize=64)
+    def _fbank_fn(self, num_samples: int):
+        import jax
+        import jax.numpy as jnp
+
+        from zipvoice_tpu.audio.mel import bigvgan_log_mel, vocos_log_mel
+
+        fcfg = self.feat_cfg
+
+        @jax.jit
+        def run(wav):  # (B, L)
+            if fcfg.type == "vocos":
+                mel = vocos_log_mel(wav, fcfg)
+            else:
+                mel = bigvgan_log_mel(wav, fcfg)
+            return (mel + fcfg.feat_bias) * fcfg.feat_scale
+
+        return run
+
+    def load_audio(self, utt: Utterance) -> np.ndarray:
+        from zipvoice_tpu.audio.wav import read_wav, resample
+
+        wav, sr = read_wav(utt.wav_path)
+        if wav.shape[0] > 1:
+            wav = wav.mean(axis=0, keepdims=True)
+        if utt.duration is not None and (utt.start or utt.duration):
+            a = int(utt.start * sr)
+            b = a + int(utt.duration * sr)
+            wav = wav[:, a:b]
+        if sr != self.feat_cfg.sampling_rate:
+            wav = resample(wav, sr, self.feat_cfg.sampling_rate)
+        return wav[0]
+
+    def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        from zipvoice_tpu.audio.mel import compute_num_frames
+        from zipvoice_tpu.models.zipvoice import pad_labels
+
+        hop = self.feat_cfg.hop_length
+        if any(u.tokens is None for u in utts):
+            token_lists = self.tokenizer.texts_to_token_ids(
+                [u.text for u in utts]
+            )
+            for u, toks in zip(utts, token_lists):
+                u.tokens = toks
+
+        wavs = [self.load_audio(u) for u in utts]
+        num_frames = [compute_num_frames(len(w), hop) for w in wavs]
+        t_pad = round_up(max(num_frames), self.frame_bucket)
+        l_pad = t_pad * hop
+        b_pad = round_up(len(utts), self.batch_bucket)
+
+        audio = np.zeros((b_pad, l_pad), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, : len(w)] = w[:l_pad]
+
+        feats = np.asarray(self._fbank_fn(l_pad)(jnp.asarray(audio)))
+        feats = feats[:, :t_pad]
+
+        tokens = pad_labels([u.tokens for u in utts], self.pad_id)
+        s_pad = round_up(tokens.shape[1], self.token_bucket)
+        tokens_padded = np.full((b_pad, s_pad), self.pad_id, np.int32)
+        tokens_padded[: len(utts), : tokens.shape[1]] = tokens
+
+        features_lens = np.zeros((b_pad,), np.int32)
+        features_lens[: len(utts)] = num_frames
+        tokens_lens = np.zeros((b_pad,), np.int32)
+        tokens_lens[: len(utts)] = [len(u.tokens) for u in utts]
+
+        return {
+            "tokens": tokens_padded,
+            "tokens_lens": tokens_lens,
+            "features": feats,
+            "features_lens": features_lens,
+        }

@@ -1,0 +1,236 @@
+"""Training driver: epochs, metrics, validation, checkpoints, averaging.
+
+Rebuild of the reference training loop (ref zipvoice/bin/train_zipvoice.py:
+498-725, 870-1120) minus torch-isms that TPU doesn't need (GradScaler,
+find_unused_parameters, set_batch_count module walking).  The ScheduledFloat
+machinery is replaced by explicit schedule evaluation on the host feeding
+scalar inputs (see train/schedules.py when training-time regularizers are
+enabled).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from zipvoice_tpu.train import checkpoint as ckpt
+from zipvoice_tpu.train.scaled_adam import ScaledAdam
+from zipvoice_tpu.train.step import TrainConfig, make_eval_step, make_train_step
+
+
+class MetricsTracker:
+    """Exp-decayed running loss (ref utils/common.py:51-140 +
+    train_zipvoice.py:620: tot = tot*(1-1/200) + cur)."""
+
+    def __init__(self, decay: float = 1.0 / 200):
+        self.decay = decay
+        self.tot: Dict[str, float] = {}
+
+    def update(self, metrics: Dict[str, float]) -> Dict[str, float]:
+        for k, v in metrics.items():
+            v = float(v)
+            if k in self.tot:
+                self.tot[k] = self.tot[k] * (1 - self.decay) + v * self.decay
+            else:
+                self.tot[k] = v
+        return dict(self.tot)
+
+
+@dataclasses.dataclass
+class TrainerOptions:
+    exp_dir: str = "exp"
+    num_epochs: int = 11
+    start_epoch: int = 1
+    save_every_n: int = 5000
+    keep_last_k: int = 30
+    average_period: int = 200
+    valid_interval: int = 10000
+    log_interval: int = 50
+    seed: int = 42
+    # epoch schedule key: "epoch" or "hour" (ref --lr-hours,
+    # train_zipvoice.py:626-632: epoch := seen_hours / lr_hours * lr_epochs)
+    lr_hours: float = 0.0
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg,
+        params,
+        opt: ScaledAdam,
+        train_cfg: TrainConfig,
+        options: TrainerOptions,
+        mesh=None,
+    ):
+        self.model_cfg = model_cfg
+        self.opt = opt
+        self.train_cfg = train_cfg
+        self.opts = options
+        self.mesh = mesh
+
+        self.params = params
+        self.opt_state = opt.init(params)
+        self.model_avg = ckpt.init_averaged_model(params)
+        self.batch_idx_train = 0
+        self.seen_seconds = 0.0
+        self.epoch = options.start_epoch
+        self.best_train_loss = float("inf")
+        self.best_valid_loss = float("inf")
+
+        self.step_fn = make_train_step(model_cfg, opt, train_cfg, mesh=mesh)
+        self.eval_fn = make_eval_step(model_cfg, train_cfg, mesh=mesh)
+        self.tracker = MetricsTracker()
+
+        if mesh is not None:
+            from zipvoice_tpu.parallel.mesh import replicate
+
+            self.params = replicate(mesh, self.params)
+            self.opt_state = replicate(mesh, self.opt_state)
+
+        Path(options.exp_dir).mkdir(parents=True, exist_ok=True)
+        self._log_path = Path(options.exp_dir) / "train_log.jsonl"
+
+    # ---------------------------------------------------------------- utils
+
+    def _epoch_value(self) -> float:
+        """The 'epoch' fed to Eden: real epochs, or hours-of-speech re-keyed
+        (ref train_zipvoice.py:626-632)."""
+        if self.opts.lr_hours > 0:
+            return self.seen_seconds / 3600.0 / self.opts.lr_hours
+        return float(self.epoch - 1)
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from zipvoice_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def _log(self, record: Dict):
+        record = {k: (float(v) if hasattr(v, "item") else v)
+                  for k, v in record.items()}
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # ---------------------------------------------------------------- steps
+
+    def train_step(self, batch) -> Dict[str, float]:
+        self.batch_idx_train += 1
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.opts.seed), self.batch_idx_train
+        )
+        frames = float(np.sum(batch["features_lens"]))
+        self.seen_seconds += frames / 93.75  # 24kHz / 256-hop frame rate
+        batch = self._shard(batch)
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, batch, rng,
+            np.int32(self.batch_idx_train), np.float32(self._epoch_value()),
+        )
+        if self.batch_idx_train % self.opts.average_period == 0:
+            self.model_avg = ckpt.update_averaged_model(
+                self.model_avg, self.params, self.batch_idx_train,
+                self.opts.average_period,
+            )
+        return metrics
+
+    def validate(self, valid_batches) -> float:
+        losses = []
+        for i, batch in enumerate(valid_batches):
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            losses.append(float(self.eval_fn(self.params, self._shard(batch), rng)))
+        loss = float(np.mean(losses)) if losses else float("nan")
+        self.best_valid_loss = min(self.best_valid_loss, loss)
+        return loss
+
+    # ------------------------------------------------------------- chkpts
+
+    def _info(self, sampler_state=None) -> Dict:
+        return {
+            "batch_idx_train": self.batch_idx_train,
+            "average_period": self.opts.average_period,
+            "epoch": self.epoch,
+            "seen_seconds": self.seen_seconds,
+            "best_train_loss": self.best_train_loss,
+            "best_valid_loss": self.best_valid_loss,
+        }
+
+    def save(self, filename: str, sampler_state=None, with_opt: bool = True):
+        if jax.process_index() != 0:
+            return
+        ckpt.save_checkpoint(
+            filename, self.params, model_avg=self.model_avg,
+            opt_state=self.opt_state if with_opt else None,
+            sampler_state=sampler_state, info=self._info(),
+        )
+
+    def save_periodic(self, sampler_state=None):
+        if self.batch_idx_train % self.opts.save_every_n == 0:
+            out = Path(self.opts.exp_dir)
+            self.save(str(out / f"checkpoint-{self.batch_idx_train}.pt"),
+                      sampler_state)
+            if jax.process_index() == 0:
+                ckpt.remove_checkpoints(str(out), self.opts.keep_last_k)
+
+    def resume(self, filename: str):
+        state = ckpt.load_checkpoint(filename)
+        self.params = jax.tree.map(
+            lambda a, b: np.asarray(b, np.asarray(a).dtype), self.params,
+            state["params"],
+        )
+        if state["model_avg"] is not None:
+            self.model_avg = ckpt.init_averaged_model(state["model_avg"])
+        if state["opt_state"] is not None:
+            self.opt_state = jax.tree.map(
+                lambda a, b: np.asarray(b, np.asarray(a).dtype),
+                self.opt_state, state["opt_state"],
+            )
+        info = state["info"]
+        self.batch_idx_train = info.get("batch_idx_train", 0)
+        self.seen_seconds = info.get("seen_seconds", 0.0)
+        self.epoch = info.get("epoch", 1)
+        self.best_train_loss = info.get("best_train_loss", float("inf"))
+        self.best_valid_loss = info.get("best_valid_loss", float("inf"))
+        if self.mesh is not None:
+            from zipvoice_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+        return state["sampler"]
+
+    # ---------------------------------------------------------------- loop
+
+    def train_epoch(self, train_batches, valid_batches=None,
+                    sampler_state_fn=None):
+        t0 = time.monotonic()
+        for batch in train_batches:
+            metrics = self.step_and_log(batch, valid_batches, sampler_state_fn)
+        return self.tracker.tot
+
+    def step_and_log(self, batch, valid_batches=None, sampler_state_fn=None):
+        metrics = self.train_step(batch)
+        if self.batch_idx_train % self.opts.log_interval == 0:
+            running = self.tracker.update(
+                {"loss": float(metrics["loss"]), "lr": float(metrics["lr"])}
+            )
+            self.best_train_loss = min(self.best_train_loss, running["loss"])
+            rec = {"step": self.batch_idx_train, "epoch": self.epoch, **running}
+            logging.info("train %s", rec)
+            self._log(rec)
+        if (
+            valid_batches is not None
+            and self.batch_idx_train % self.opts.valid_interval == 0
+        ):
+            vl = self.validate(valid_batches)
+            logging.info("valid step=%d loss=%.4f", self.batch_idx_train, vl)
+            self._log({"step": self.batch_idx_train, "valid_loss": vl})
+        self.save_periodic(
+            sampler_state_fn() if sampler_state_fn is not None else None
+        )
+        return metrics
