@@ -1,0 +1,172 @@
+"""ZipVoice-Distill: guidance-scale-embedded student + distillation losses.
+
+Rebuild of ref zipvoice/models/zipvoice_distill.py (model) and
+bin/train_zipvoice_distill.py:378-518 (two-stage distillation):
+
+* the student's fm_decoder takes the guidance scale as an embedding input
+  (use_guidance_scale_embed=True) so inference needs no CFG doubling;
+* stage 1: fixed teacher = trained ZipVoice; stage 2: teacher = EMA of the
+  student (decay 0.9999, ref :288, :652-653);
+* per step: two chained 1-step teacher hops t -> t+d_fix -> t_dest and one
+  student hop t -> t_dest; MSE on implied velocities.
+
+Only fm_decoder params train (ref :967-975) — handled by a gradient mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zipvoice_tpu.config import ZipVoiceConfig
+from zipvoice_tpu.models import zipvoice as zv
+from zipvoice_tpu.nn.functional import make_pad_mask
+
+Params = Dict[str, object]
+
+
+def distill_config(cfg: ZipVoiceConfig) -> ZipVoiceConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, use_guidance_scale_embed=True)
+
+
+def init_zipvoice_distill(key, cfg: ZipVoiceConfig) -> Params:
+    return zv.init_zipvoice(key, distill_config(cfg))
+
+
+def sample_intermediate(
+    params: Params,
+    cfg: ZipVoiceConfig,
+    tokens_padded: jax.Array,
+    tokens_lens: jax.Array,
+    features: jax.Array,
+    features_lens: jax.Array,
+    noise: jax.Array,
+    speech_condition_mask: jax.Array,
+    t_start: float,
+    t_end: float,
+    num_step: int = 1,
+    guidance_scale=None,
+    distill: bool = True,
+) -> jax.Array:
+    """Integrate from t_start to t_end given conditioning built from ground
+    truth (ref zipvoice.py:488-534).  guidance_scale: (B,1,1) array for the
+    distill path, float for the CFG path."""
+    num_frames = features.shape[1]
+    text_condition, padding_mask = zv.forward_text_train(
+        params, cfg, tokens_padded, tokens_lens, features_lens, num_frames,
+        dtype=features.dtype,
+    )
+    speech_condition = jnp.where(speech_condition_mask[:, :, None], 0.0, features)
+
+    ts = zv.get_time_steps(t_start, t_end, num_step, 1.0)
+    x = noise
+    for i in range(num_step):
+        if distill:
+            v = zv.forward_fm_decoder(
+                params, cfg, float(ts[i]), x, text_condition, speech_condition,
+                padding_mask, guidance_scale=guidance_scale,
+            )
+        else:
+            v = zv.cfg_velocity(
+                params, cfg, float(ts[i]), x, text_condition, speech_condition,
+                padding_mask, guidance_scale,
+            )
+        x = x + v * (float(ts[i + 1]) - float(ts[i]))
+    return x
+
+
+def compute_distill_loss(
+    student_params: Params,
+    teacher_params: Params,
+    cfg: ZipVoiceConfig,
+    tokens_padded: jax.Array,
+    tokens_lens: jax.Array,
+    features: jax.Array,
+    features_lens: jax.Array,
+    key,
+    t_value: float,
+    t_delta_fix: float,
+    t_delta_ema: float,
+    stage: str = "first",
+) -> Tuple[jax.Array, jax.Array]:
+    """One distillation loss eval (ref train_zipvoice_distill.py:378-518).
+
+    t_value/t_delta_* are Python floats drawn on host per step like the
+    reference's random.random()/random.uniform (ref :420-429), which keeps
+    the integration limits trace-static.  Returns (loss, ref_loss).
+    """
+    b, num_frames, _ = features.shape
+    k_noise, k_gs, k_mask = jax.random.split(key, 3)
+    noise = jax.random.normal(k_noise, features.shape, features.dtype)
+    if stage == "first":
+        guidance_scale = jax.random.uniform(k_gs, (b, 1, 1)) * 2.0
+    else:
+        guidance_scale = jax.random.uniform(k_gs, (b, 1, 1)) * 2.0 + 1.0
+    guidance_scale = guidance_scale.astype(features.dtype)
+
+    t = jnp.full((b, 1, 1), t_value, features.dtype)
+    xt = features * t + noise * (1.0 - t)
+    t_dest = t_value + t_delta_fix + t_delta_ema
+
+    speech_condition_mask = zv.condition_time_mask(
+        k_mask, features_lens, num_frames, (0.7, 1.0)
+    )
+
+    # teacher: two chained one-step hops, no gradient
+    teacher = jax.lax.stop_gradient
+    x_mid = sample_intermediate(
+        teacher_params, cfg, tokens_padded, tokens_lens, features,
+        features_lens, xt, speech_condition_mask,
+        t_start=t_value, t_end=t_value + t_delta_fix, num_step=1,
+        guidance_scale=guidance_scale,
+    )
+    target_x1 = sample_intermediate(
+        teacher_params, cfg, tokens_padded, tokens_lens, features,
+        features_lens, teacher(x_mid), speech_condition_mask,
+        t_start=t_value + t_delta_fix, t_end=t_dest, num_step=1,
+        guidance_scale=guidance_scale,
+    )
+    target_x1 = teacher(target_x1)
+
+    # student: one hop across the whole span
+    pred_x1 = sample_intermediate(
+        student_params, cfg, tokens_padded, tokens_lens, features,
+        features_lens, xt, speech_condition_mask,
+        t_start=t_value, t_end=t_dest, num_step=1,
+        guidance_scale=guidance_scale,
+    )
+
+    denom = jnp.float32(t_dest - t_value)
+    pred_v = (pred_x1 - xt).astype(jnp.float32) / denom
+    target_v = (target_x1 - xt).astype(jnp.float32) / denom
+
+    padding_mask = make_pad_mask(features_lens, num_frames)
+    loss_mask = speech_condition_mask & (~padding_mask)
+    w = loss_mask[:, :, None].astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w) * features.shape[-1], 1.0)
+    loss = jnp.sum(jnp.square(pred_v - target_v) * w) / n
+    ut = (features - noise).astype(jnp.float32)
+    ref_loss = jnp.sum(jnp.square(pred_v - ut) * w) / n
+    return loss, ref_loss
+
+
+def ema_update(teacher_params: Params, student_params: Params,
+               decay: float = 0.9999) -> Params:
+    """teacher <- decay * teacher + (1-decay) * student (stage 2, ref :365)."""
+    return jax.tree.map(
+        lambda t, s: t * decay + s.astype(t.dtype) * (1.0 - decay),
+        teacher_params, student_params,
+    )
+
+
+def fm_decoder_grad_mask(params: Params) -> Params:
+    """1.0 for fm_decoder leaves, 0.0 elsewhere (only the fm_decoder trains
+    during distillation, ref train_zipvoice_distill.py:967-975)."""
+    return {
+        k: jax.tree.map(lambda _: 1.0 if k == "fm_decoder" else 0.0, v)
+        for k, v in params.items()
+    }

@@ -204,6 +204,25 @@ def init_tts_zipformer(key, cfg: ZipformerConfig) -> Params:
     return p
 
 
+def init_tts_zipformer_two_stream(
+    key, cfg: ZipformerConfig, in_dims, out_dims
+) -> Params:
+    """TTSZipformerTwoStream init: shared stacks, two in/out projection pairs
+    selected by input dim (ref zipformer_two_stream.py:92-217).  cfg.in_dim /
+    cfg.out_dim are ignored in favor of the (stream0, stream1) dims."""
+    k0, k1, k2, k3, kbase = jax.random.split(key, 5)
+    p = init_tts_zipformer(kbase, cfg)
+    p["in_proj"] = {
+        "0": _init_linear(k0, in_dims[0], cfg.encoder_dim),
+        "1": _init_linear(k1, in_dims[1], cfg.encoder_dim),
+    }
+    p["out_proj"] = {
+        "0": _init_linear(k2, cfg.encoder_dim, out_dims[0]),
+        "1": _init_linear(k3, cfg.encoder_dim, out_dims[1]),
+    }
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -437,6 +456,7 @@ def tts_zipformer_forward(
     t: Optional[jax.Array] = None,
     padding_mask: Optional[jax.Array] = None,
     guidance_scale: Optional[jax.Array] = None,
+    stream: int = 0,
 ) -> jax.Array:
     """TTSZipformer forward (ref zipformer.py:242-293).
 
@@ -445,10 +465,20 @@ def tts_zipformer_forward(
       t: (B,) diffusion timestep in [0, 1], or None if use_time_embed=False.
       padding_mask: (B, T) bool, True = padded.
       guidance_scale: (B,) guidance scale (distill variant only).
+      stream: which in/out projection pair to use when the params hold
+        two-stream ModuleList projections (TTSZipformerTwoStream, ref
+        zipformer_two_stream.py:161-167, 238-262); ignored otherwise.
 
     Returns: (B, T, out_dim).
     """
-    h = linear(p["in_proj"], x)
+    if "weight" in p["in_proj"]:
+        in_proj, out_proj = p["in_proj"], p["out_proj"]
+    else:
+        # auto-dispatch by input width like the reference (two_stream.py:238-242)
+        if x.shape[-1] != p["in_proj"][str(stream)]["weight"].shape[0]:
+            stream = 1 - stream
+        in_proj, out_proj = p["in_proj"][str(stream)], p["out_proj"][str(stream)]
+    h = linear(in_proj, x)
 
     if t is not None:
         time_emb = timestep_embedding(t, cfg.time_embed_dim).astype(x.dtype)
@@ -471,4 +501,4 @@ def tts_zipformer_forward(
         else:
             h = _downsampled_encoder_stack(sp, cfg, i, h, time_emb, padding_mask)
 
-    return linear(p["out_proj"], h)
+    return linear(out_proj, h)
