@@ -77,11 +77,13 @@ def forward_fm_decoder(
     speech_condition: jax.Array,
     padding_mask: Optional[jax.Array] = None,
     guidance_scale: Optional[jax.Array] = None,
+    ctx=None,
 ) -> jax.Array:
     """Velocity prediction (ref zipvoice.py:135-185).
 
     t / guidance_scale: scalar or (B,)-broadcastable, in [0, 1].
     xt, text_condition, speech_condition: (B, T, F).
+    ctx: optional nn.zipformer.TrainCtx enabling training-time stochastics.
     """
     x = jnp.concatenate([xt, text_condition, speech_condition], axis=-1)
     b = x.shape[0]
@@ -99,6 +101,7 @@ def forward_fm_decoder(
         t=t,
         padding_mask=padding_mask,
         guidance_scale=guidance_scale,
+        ctx=ctx,
     )
 
 
@@ -108,6 +111,7 @@ def forward_text_embed(
     tokens_padded: jax.Array,
     tokens_lens: jax.Array,
     dtype=jnp.float32,
+    ctx=None,
 ) -> jax.Array:
     """Token embedding + text encoder (ref zipvoice.py:187-212).
 
@@ -122,6 +126,7 @@ def forward_text_embed(
         embed,
         t=None,
         padding_mask=mask,
+        ctx=ctx,
     )
 
 
@@ -170,9 +175,12 @@ def forward_text_train(
     features_lens: jax.Array,
     num_frames: int,
     dtype=jnp.float32,
+    ctx=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(ref zipvoice.py:253-268)."""
-    embed = forward_text_embed(params, cfg, tokens_padded, tokens_lens, dtype)
+    embed = forward_text_embed(
+        params, cfg, tokens_padded, tokens_lens, dtype, ctx=ctx
+    )
     return forward_text_condition(embed, tokens_lens, features_lens, num_frames)
 
 
@@ -214,18 +222,29 @@ def compute_fm_loss(
     t: jax.Array,
     key,
     condition_drop_ratio: float = 0.0,
+    schedules=None,
 ) -> jax.Array:
     """Conditional flow-matching MSE on velocity (ref zipvoice.py:332-386).
 
     features/noise: (B, T, F); t: (B, 1, 1) in (0, 1).
+    schedules: optional pytree from train.schedules.zipformer_schedules —
+    when given, the backbone runs with training-time stochastics live.
     Returns scalar loss (mean over unmasked, non-padded positions).
     """
     num_frames = features.shape[1]
-    k_mask, k_drop = jax.random.split(key)
+    k_mask, k_drop, k_text, k_fm = jax.random.split(key, 4)
+
+    if schedules is None:
+        text_ctx = fm_ctx = None
+    else:
+        from zipvoice_tpu.nn.zipformer import TrainCtx
+
+        text_ctx = TrainCtx(k_text, schedules)
+        fm_ctx = TrainCtx(k_fm, schedules)
 
     text_condition, padding_mask = forward_text_train(
         params, cfg, tokens_padded, tokens_lens, features_lens, num_frames,
-        dtype=features.dtype,
+        dtype=features.dtype, ctx=text_ctx,
     )
 
     speech_condition_mask = condition_time_mask(
@@ -245,7 +264,8 @@ def compute_fm_loss(
     ut = features - noise
 
     vt = forward_fm_decoder(
-        params, cfg, t, xt, text_condition, speech_condition, padding_mask
+        params, cfg, t, xt, text_condition, speech_condition, padding_mask,
+        ctx=fm_ctx,
     )
 
     loss_mask = speech_condition_mask & (~padding_mask)

@@ -228,6 +228,66 @@ def init_tts_zipformer_two_stream(
 # ---------------------------------------------------------------------------
 
 
+class TrainCtx:
+    """Training-mode context: RNG + schedule values.
+
+    Replaces the reference's module-attribute plumbing (batch_count writes,
+    python `random.random()` gates — ref common.py:314-322, zipformer.py
+    throughout).  `s` holds the schedule pytree from
+    train/schedules.zipformer_schedules (traced scalars inside jit); keys are
+    derived deterministically by a trace-time counter so layer i always gets
+    the same key stream for a given base key.
+
+    Passing ctx=None anywhere keeps exact eval semantics.
+    """
+
+    def __init__(self, key: jax.Array, s: Dict):
+        self.key = key
+        self.s = s
+        self._n = 0
+        self._stack = 0
+        self._layer = 0
+
+    def next_key(self) -> jax.Array:
+        self._n += 1
+        return jax.random.fold_in(self.key, self._n)
+
+    def gate(self, prob) -> jax.Array:
+        """Traced bool: apply-with-probability (ref `random.random() < p`)."""
+        return jax.random.uniform(self.next_key(), ()) < prob
+
+    def layerdrop_rate(self):
+        return self.s["layerdrop"][self._stack][self._layer]
+
+
+def _maybe_balancer(ctx: Optional[TrainCtx], x, prob, **kw):
+    if ctx is None:
+        return x
+    from zipvoice_tpu.nn.regularizers import balancer
+
+    return balancer(x, ctx.gate(prob), **kw)
+
+
+def _maybe_whiten(ctx: Optional[TrainCtx], x, limit_key: str, grad_scale,
+                  num_groups: int = 1, max_prob: float = 0.25):
+    if ctx is None:
+        return x
+    from zipvoice_tpu.nn.regularizers import whiten
+
+    return whiten(
+        x, ctx.gate(max_prob), num_groups=num_groups,
+        whitening_limit=ctx.s[limit_key], grad_scale=grad_scale,
+    )
+
+
+def _maybe_seq_dropout(ctx: Optional[TrainCtx], x, rate):
+    if ctx is None:
+        return x
+    from zipvoice_tpu.nn.regularizers import sequence_dropout
+
+    return sequence_dropout(x, ctx.next_key(), rate)
+
+
 def _rel_shift(pos_scores: jax.Array, seq_len: int) -> jax.Array:
     """Convert (B, H, T, 2T-1) relative-axis scores to (B, H, T, T) absolute.
 
@@ -250,6 +310,7 @@ def _attention_weights(
     x: jax.Array,
     pos_emb: jax.Array,
     key_padding_mask: Optional[jax.Array],
+    ctx: Optional[TrainCtx] = None,
 ) -> jax.Array:
     """RelPositionMultiheadAttentionWeights forward (ref zipformer.py:1149-1306).
 
@@ -259,9 +320,17 @@ def _attention_weights(
     b, t, _ = x.shape
     h, qd, pd = cfg.num_heads, cfg.query_head_dim, cfg.pos_head_dim
     proj = linear(p["in_proj"], x)
-    q = proj[..., : qd * h].reshape(b, t, h, qd)
-    k = proj[..., qd * h : 2 * qd * h].reshape(b, t, h, qd)
+    q = proj[..., : qd * h]
+    k = proj[..., qd * h : 2 * qd * h]
     pq = proj[..., 2 * qd * h :].reshape(b, t, h, pd)
+
+    # training: key balancer (prob 0.025) + key whitening (ref :1115-1138)
+    k = _maybe_balancer(ctx, k, 0.025, min_positive=0.4, max_positive=0.6,
+                        min_abs=0.0, max_abs=100.0)
+    k = _maybe_whiten(ctx, k, "whiten_3", 0.025, num_groups=h)
+
+    q = q.reshape(b, t, h, qd)
+    k = k.reshape(b, t, h, qd)
 
     attn_scores = jnp.einsum(
         "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
@@ -272,13 +341,26 @@ def _attention_weights(
     pos_scores = jnp.einsum(
         "bthd,nhd->bhtn", pq, pe, preferred_element_type=jnp.float32
     )
-    attn_scores = attn_scores + _rel_shift(pos_scores, t)
+    pos_scores = _rel_shift(pos_scores, t)
+    if ctx is None:
+        attn_scores = attn_scores + pos_scores
+    else:
+        # pos-score dropout w.p. pos_emb_skip_rate (ref :1207-1211)
+        use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
+        attn_scores = attn_scores + jnp.where(use_pos, 1.0, 0.0) * pos_scores
+        # attention-score failsafe w.p. 0.1 (ref :1254-1269)
+        from zipvoice_tpu.nn.regularizers import penalize_abs_values_gt
+
+        attn_scores = penalize_abs_values_gt(
+            attn_scores, ctx.gate(0.1), limit=25.0, penalty=1.0e-04
+        )
 
     return masked_softmax(attn_scores, key_padding_mask)
 
 
 def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
-                    attn_weights: jax.Array) -> jax.Array:
+                    attn_weights: jax.Array,
+                    ctx: Optional[TrainCtx] = None) -> jax.Array:
     """SelfAttention forward (ref zipformer.py:1359-1396).  x: (B, T, D)."""
     b, t, _ = x.shape
     h = cfg.num_heads
@@ -287,26 +369,38 @@ def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
         "bhts,bshd->bthd", attn_weights.astype(x.dtype), v,
         preferred_element_type=x.dtype,
     )
-    return linear(p["out_proj"], o.reshape(b, t, h * cfg.value_head_dim))
+    out = linear(p["out_proj"], o.reshape(b, t, h * cfg.value_head_dim))
+    return _maybe_whiten(ctx, out, "whiten_7_5x3", 0.01)
 
 
-def _nonlin_attention(p: Params, x: jax.Array, attn_head0: jax.Array) -> jax.Array:
+def _nonlin_attention(p: Params, x: jax.Array, attn_head0: jax.Array,
+                      ctx: Optional[TrainCtx] = None) -> jax.Array:
     """NonlinAttention forward (ref zipformer.py:1499-1544).
 
     attn_head0: (B, T, T) — the first attention head's probabilities.
     """
     proj = linear(p["in_proj"], x)
     s, v, y = jnp.split(proj, 3, axis=-1)
+    if ctx is not None:
+        s = _maybe_balancer(
+            ctx, s, ctx.s["balancer_prob"],
+            min_positive=ctx.s["nonlin_balancer_min_pos"],
+            max_positive=ctx.s["nonlin_balancer_max_pos"],
+            min_abs=0.5, max_abs=5.0,
+        )
+    v = _maybe_whiten(ctx, v, "whiten_5", 0.01)
     v = v * jnp.tanh(s)
     v = jnp.einsum(
         "bts,bsc->btc", attn_head0.astype(x.dtype), v,
         preferred_element_type=x.dtype,
     )
-    return linear(p["out_proj"], v * y)
+    out = linear(p["out_proj"], v * y)
+    return _maybe_whiten(ctx, out, "whiten_5x3", 0.01)
 
 
 def _conv_module(p: Params, x: jax.Array,
-                 key_padding_mask: Optional[jax.Array]) -> jax.Array:
+                 key_padding_mask: Optional[jax.Array],
+                 ctx: Optional[TrainCtx] = None) -> jax.Array:
     """ConvolutionModule forward (ref zipformer.py:1638-1680).
 
     GLU gate -> depthwise conv over time (SAME) -> SwooshR -> out linear.
@@ -315,6 +409,12 @@ def _conv_module(p: Params, x: jax.Array,
     """
     proj = linear(p["in_proj"], x)
     v, s = jnp.split(proj, 2, axis=-1)
+    if ctx is not None:
+        s = _maybe_balancer(
+            ctx, s, ctx.s["balancer_prob"],
+            min_positive=ctx.s["conv_balancer1_min_pos"], max_positive=1.0,
+            min_abs=1.5, max_abs=ctx.s["conv_balancer1_max_abs"],
+        )
     v = v * jax.nn.sigmoid(s)
     if key_padding_mask is not None:
         v = jnp.where(key_padding_mask[:, :, None], 0.0, v)
@@ -329,18 +429,53 @@ def _conv_module(p: Params, x: jax.Array,
         tap = jax.lax.dynamic_slice_in_dim(vp, k, t, axis=1) * w[k]
         out = tap if out is None else out + tap
     out = out + p["depthwise_conv"]["bias"].astype(x.dtype)
+    if ctx is not None:
+        out = _maybe_balancer(
+            ctx, out, ctx.s["balancer_prob"],
+            min_positive=ctx.s["conv_balancer2_min_pos"], max_positive=1.0,
+            min_abs=ctx.s["conv_balancer2_min_abs"], max_abs=10.0,
+        )
+    out = _maybe_whiten(ctx, out, "whiten_7_5", 0.01)
     return linear(p["out_proj"], swoosh_r(out))
 
 
-def _feedforward(p: Params, x: jax.Array) -> jax.Array:
-    """FeedforwardModule forward: Linear -> SwooshL -> Linear
-    (ref zipformer.py:1433-1439)."""
-    return linear(p["out_proj"], swoosh_l(linear(p["in_proj"], x)))
+def _feedforward(p: Params, x: jax.Array,
+                 ctx: Optional[TrainCtx] = None) -> jax.Array:
+    """FeedforwardModule forward: Linear -> [balancer] -> SwooshL ->
+    [dropout shared over time] -> Linear -> [whiten]
+    (ref zipformer.py:1399-1439)."""
+    h = linear(p["in_proj"], x)
+    if ctx is not None:
+        h = _maybe_balancer(ctx, h, ctx.s["balancer_prob"],
+                            min_positive=0.3, max_positive=1.0,
+                            min_abs=0.75, max_abs=5.0)
+    h = swoosh_l(h)
+    if ctx is not None:
+        from zipvoice_tpu.nn.regularizers import dropout_shared
+
+        h = dropout_shared(h, ctx.next_key(), ctx.s["dropout"], shared_dim=1)
+    out = linear(p["out_proj"], h)
+    return _maybe_whiten(ctx, out, "whiten_7_5", 0.01)
 
 
-def _bypass(p: Params, src_orig: jax.Array, src: jax.Array) -> jax.Array:
-    """BypassModule eval forward (ref zipformer.py:798-804)."""
+def _bypass(p: Params, src_orig: jax.Array, src: jax.Array,
+            ctx: Optional[TrainCtx] = None, skip_rate=None) -> jax.Array:
+    """BypassModule forward (ref zipformer.py:747-804).  In training the
+    scale is range-limited (gradient clamp, w.p. 0.6) and whole sequences may
+    be layer-dropped (scale zeroed) w.p. skip_rate."""
     scale = p["bypass_scale"].astype(src.dtype)
+    if ctx is not None:
+        from zipvoice_tpu.nn.regularizers import limit_param_value
+
+        scale = limit_param_value(
+            scale, ctx.gate(0.6), ctx.s["bypass_scale_min"], 1.0
+        ).astype(src.dtype)
+        if skip_rate is not None:
+            keep = (
+                jax.random.uniform(ctx.next_key(), (src.shape[0], 1, 1))
+                > skip_rate
+            )
+            scale = scale * keep.astype(src.dtype)  # (B, 1, D) via broadcast
     return src_orig + (src - src_orig) * scale
 
 
@@ -351,36 +486,104 @@ def _encoder_layer(
     pos_emb: jax.Array,
     time_emb: Optional[jax.Array],
     key_padding_mask: Optional[jax.Array],
+    ctx: Optional[TrainCtx] = None,
 ) -> jax.Array:
-    """Zipformer2EncoderLayer eval forward (ref zipformer.py:489-642).
+    """Zipformer2EncoderLayer forward (ref zipformer.py:489-642).
 
-    src: (B, T, D); time_emb: (B, D) or None.
+    src: (B, T, D); time_emb: (B, D) or None.  With ctx, the training-time
+    stochastics are live: module skip-rates, const-attention, balancers,
+    whitening, layerdrop.
     """
     src_orig = src
     attn_weights = _attention_weights(
-        p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask
+        p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask, ctx
     )
 
     te = None if time_emb is None else time_emb[:, None, :].astype(src.dtype)
     if te is not None:
         src = src + te
-    src = src + _feedforward(p["feed_forward1"], src)
-    src = src + _nonlin_attention(p["nonlin_attention"], src, attn_weights[:, 0])
-    src = src + _self_attention(p["self_attn1"], cfg, src, attn_weights)
+    src = src + _feedforward(p["feed_forward1"], src, ctx)
+
+    # one shared per-sequence attention-skip mask for nonlin-attn and both
+    # self-attn modules (ref zipformer.py:538-540)
+    if ctx is not None:
+        attn_keep = (
+            jax.random.uniform(ctx.next_key(), (src.shape[0], 1, 1))
+            > ctx.s["attention_skip_rate"]
+        ).astype(src.dtype)
+    else:
+        attn_keep = None
+
+    head0 = attn_weights[:, 0]
+    if ctx is not None:
+        # const-attention: replace head 0 with a normalized binary mask
+        # w.p. const_attention_rate (ref zipformer.py:545-556)
+        binary = (head0 > 0.0).astype(head0.dtype)
+        const_head = binary / jnp.maximum(
+            jnp.sum(binary, axis=-1, keepdims=True), 1e-20
+        )
+        head0 = jnp.where(ctx.gate(ctx.s["const_attention_rate"]),
+                          const_head, head0)
+
+    na = _nonlin_attention(p["nonlin_attention"], src, head0, ctx)
+    na = _maybe_balancer(ctx, na, 0.05, min_positive=0.3, max_positive=0.7,
+                         min_abs=ctx.s["balancer_na_min_abs"] if ctx else 0.0,
+                         max_abs=100.0)
+    src = src + (na if attn_keep is None else na * attn_keep)
+
+    sa = _self_attention(p["self_attn1"], cfg, src, attn_weights, ctx)
+    src = src + (sa if attn_keep is None else sa * attn_keep)
+
     if cfg.use_conv:
         if te is not None:
             src = src + te
-        src = src + _conv_module(p["conv_module1"], src, key_padding_mask)
-    src = src + _feedforward(p["feed_forward2"], src)
-    src = _bypass(p["bypass_mid"], src_orig, src)
-    src = src + _self_attention(p["self_attn2"], cfg, src, attn_weights)
+        cv = _conv_module(p["conv_module1"], src, key_padding_mask, ctx)
+        if ctx is not None:
+            cv = _maybe_seq_dropout(ctx, cv, ctx.s["conv_skip_rate"])
+        src = src + cv
+
+    ff2 = _feedforward(p["feed_forward2"], src, ctx)
+    if ctx is not None:
+        ff2 = _maybe_balancer(
+            ctx, ff2, 0.05, min_positive=0.3, max_positive=0.7,
+            min_abs=ctx.s["balancer_ff2_min_abs"], max_abs=2.0,
+        )
+        ff2 = _maybe_seq_dropout(ctx, ff2, ctx.s["ff2_skip_rate"])
+    src = src + ff2
+
+    src = _bypass(p["bypass_mid"], src_orig, src, ctx)
+
+    sa = _self_attention(p["self_attn2"], cfg, src, attn_weights, ctx)
+    src = src + (sa if attn_keep is None else sa * attn_keep)
+
     if cfg.use_conv:
         if te is not None:
             src = src + te
-        src = src + _conv_module(p["conv_module2"], src, key_padding_mask)
-    src = src + _feedforward(p["feed_forward3"], src)
+        cv = _conv_module(p["conv_module2"], src, key_padding_mask, ctx)
+        if ctx is not None:
+            cv = _maybe_seq_dropout(ctx, cv, ctx.s["conv_skip_rate"])
+        src = src + cv
+
+    ff3 = _feedforward(p["feed_forward3"], src, ctx)
+    if ctx is not None:
+        ff3 = _maybe_balancer(
+            ctx, ff3, 0.05, min_positive=0.3, max_positive=0.7,
+            min_abs=ctx.s["balancer_ff3_min_abs"], max_abs=4.0,
+        )
+        ff3 = _maybe_seq_dropout(ctx, ff3, ctx.s["ff3_skip_rate"])
+    src = src + ff3
+
+    src = _maybe_balancer(ctx, src, ctx.s["balancer_prob"] if ctx else 0.0,
+                          min_positive=0.45, max_positive=0.55,
+                          min_abs=0.2, max_abs=4.0) if ctx is not None else src
     src = bias_norm(src, p["norm"]["bias"], p["norm"]["log_scale"])
-    src = _bypass(p["bypass"], src_orig, src)
+    src = _bypass(p["bypass"], src_orig, src, ctx,
+                  skip_rate=ctx.layerdrop_rate() if ctx is not None else None)
+    if ctx is not None:
+        src = _maybe_balancer(ctx, src, ctx.s["balancer_prob"],
+                              min_positive=0.45, max_positive=0.55,
+                              min_abs=0.1, max_abs=4.0)
+        src = _maybe_whiten(ctx, src, "whiten_4x3", 0.01)
     return src
 
 
@@ -391,10 +594,16 @@ def _encoder_stack(
     src: jax.Array,
     time_emb: Optional[jax.Array],
     key_padding_mask: Optional[jax.Array],
+    ctx: Optional[TrainCtx] = None,
 ) -> jax.Array:
     """Zipformer2Encoder forward (ref zipformer.py:702-744).  src: (B, T, D)."""
     t = src.shape[1]
     pos_emb = compact_rel_positional_encoding(t, cfg.pos_dim)
+    if ctx is not None:
+        # pos-emb dropout rate 0.15 (ref zipformer.py:673-674, 1056)
+        from zipvoice_tpu.nn.regularizers import dropout_shared
+
+        pos_emb = dropout_shared(pos_emb, ctx.next_key(), 0.15)
     if cfg.use_time_embed:
         assert time_emb is not None
         stack_time_emb = linear(p["time_emb"]["1"], swoosh_r(time_emb))
@@ -403,8 +612,11 @@ def _encoder_stack(
     out = src
     num_layers = cfg.num_encoder_layers[stack]
     for i in range(num_layers):
+        if ctx is not None:
+            ctx._layer = i
         out = _encoder_layer(
-            p["layers"][str(i)], cfg, out, pos_emb, stack_time_emb, key_padding_mask
+            p["layers"][str(i)], cfg, out, pos_emb, stack_time_emb,
+            key_padding_mask, ctx,
         )
     return out
 
@@ -438,15 +650,16 @@ def _downsampled_encoder_stack(
     src: jax.Array,
     time_emb: Optional[jax.Array],
     key_padding_mask: Optional[jax.Array],
+    ctx: Optional[TrainCtx] = None,
 ) -> jax.Array:
     """DownsampledZipformer2Encoder forward (ref zipformer.py:823-870)."""
     ds = cfg.downsampling_factor[stack]
     src_orig = src
     x = _downsample(p["downsample"], src, ds)
     mask = None if key_padding_mask is None else key_padding_mask[:, ::ds]
-    x = _encoder_stack(p["encoder"], cfg, stack, x, time_emb, mask)
+    x = _encoder_stack(p["encoder"], cfg, stack, x, time_emb, mask, ctx)
     x = _upsample(x, ds, src.shape[1])
-    return _bypass(p["out_combiner"], src_orig, x)
+    return _bypass(p["out_combiner"], src_orig, x, ctx)
 
 
 def tts_zipformer_forward(
@@ -457,6 +670,7 @@ def tts_zipformer_forward(
     padding_mask: Optional[jax.Array] = None,
     guidance_scale: Optional[jax.Array] = None,
     stream: int = 0,
+    ctx: Optional["TrainCtx"] = None,
 ) -> jax.Array:
     """TTSZipformer forward (ref zipformer.py:242-293).
 
@@ -496,9 +710,13 @@ def tts_zipformer_forward(
 
     for i in range(cfg.num_stacks):
         sp = p["encoders"][str(i)]
+        if ctx is not None:
+            ctx._stack = i
         if cfg.downsampling_factor[i] == 1:
-            h = _encoder_stack(sp, cfg, i, h, time_emb, padding_mask)
+            h = _encoder_stack(sp, cfg, i, h, time_emb, padding_mask, ctx)
         else:
-            h = _downsampled_encoder_stack(sp, cfg, i, h, time_emb, padding_mask)
+            h = _downsampled_encoder_stack(
+                sp, cfg, i, h, time_emb, padding_mask, ctx
+            )
 
     return linear(out_proj, h)

@@ -38,6 +38,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # "float32" | "bfloat16"
     schedule: str = "eden"  # "eden" | "fixed"
     remat: bool = False  # jax.checkpoint the loss for long sequences
+    # training-time stochastic regularizers (dropout, layerdrop, balancers,
+    # whitening, ... — the reference scaling kit).  Schedule values are
+    # computed host-side per step and fed as traced scalars.
+    use_regularizers: bool = True
 
 
 def make_train_step(
@@ -56,7 +60,7 @@ def make_train_step(
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, schedules):
         k_t, k_noise, k_mask = jax.random.split(rng, 3)
         features = batch["features"].astype(dtype)
         b = features.shape[0]
@@ -75,13 +79,14 @@ def make_train_step(
             t,
             k_mask,
             condition_drop_ratio=train_cfg.condition_drop_ratio,
+            schedules=schedules,
         )
 
     if train_cfg.remat:
         loss_fn = jax.checkpoint(loss_fn)
 
-    def train_step(params, opt_state, batch, rng, step_idx, epoch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+    def train_step(params, opt_state, batch, rng, step_idx, epoch, schedules=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng, schedules)
         if train_cfg.schedule == "eden":
             lr = eden_lr(
                 train_cfg.base_lr, step_idx, epoch,
@@ -97,7 +102,7 @@ def make_train_step(
         return params, opt_state, metrics
 
     if mesh is None:
-        return jax.jit(train_step)
+        return jax.jit(train_step, static_argnames=())
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)
@@ -105,12 +110,18 @@ def make_train_step(
         "tokens": data, "tokens_lens": data, "features": data,
         "features_lens": data,
     }
-    return jax.jit(
+
+    jitted = jax.jit(
         train_step,
-        in_shardings=(repl, repl, batch_shardings, repl, repl, repl),
+        in_shardings=(repl, repl, batch_shardings, repl, repl, repl, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
+
+    def run(params, opt_state, batch, rng, step_idx, epoch, schedules=None):
+        return jitted(params, opt_state, batch, rng, step_idx, epoch, schedules)
+
+    return run
 
 
 def make_eval_step(model_cfg: ZipVoiceConfig, train_cfg: TrainConfig = TrainConfig(),

@@ -57,6 +57,13 @@ class TrainerOptions:
     # epoch schedule key: "epoch" or "hour" (ref --lr-hours,
     # train_zipvoice.py:626-632: epoch := seen_hours / lr_hours * lr_epochs)
     lr_hours: float = 0.0
+    # batch-count normalization for the regularizer schedules
+    # (ref common.py:304-312): count = step * max_duration*world / ref_duration
+    max_duration: float = 200.0
+    ref_duration: float = 600.0
+    # finetuning offsets the schedule count so regularizers start relaxed
+    # (ref train_zipvoice.py:564-565)
+    batch_count_offset: float = 0.0
 
 
 class Trainer:
@@ -87,6 +94,14 @@ class Trainer:
         self.step_fn = make_train_step(model_cfg, opt, train_cfg, mesh=mesh)
         self.eval_fn = make_eval_step(model_cfg, train_cfg, mesh=mesh)
         self.tracker = MetricsTracker()
+        if train_cfg.use_regularizers:
+            from zipvoice_tpu.train.schedules import zipformer_schedules
+
+            self._sched_fn = lambda count: zipformer_schedules(
+                count, model_cfg.fm_decoder_config()
+            )
+        else:
+            self._sched_fn = None
 
         if mesh is not None:
             from zipvoice_tpu.parallel.mesh import replicate
@@ -129,9 +144,20 @@ class Trainer:
         frames = float(np.sum(batch["features_lens"]))
         self.seen_seconds += frames / 93.75  # 24kHz / 256-hop frame rate
         batch = self._shard(batch)
+        if self._sched_fn is not None:
+            from zipvoice_tpu.train.schedules import adjusted_batch_count
+
+            count = self.opts.batch_count_offset + adjusted_batch_count(
+                self.batch_idx_train, self.opts.max_duration,
+                jax.process_count(), self.opts.ref_duration,
+            )
+            schedules = self._sched_fn(count)
+        else:
+            schedules = None
         self.params, self.opt_state, metrics = self.step_fn(
             self.params, self.opt_state, batch, rng,
             np.int32(self.batch_idx_train), np.float32(self._epoch_value()),
+            schedules,
         )
         if self.batch_idx_train % self.opts.average_period == 0:
             self.model_avg = ckpt.update_averaged_model(
