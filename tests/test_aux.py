@@ -1,0 +1,225 @@
+"""Aux subsystems: diagnostics, inf-check, data-prep CLIs, averaged-model CLI,
+and variant train-step smoke tests."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
+from zipvoice_tpu.models.dialog import init_zipvoice_dialog
+from zipvoice_tpu.models.distill import distill_config, init_zipvoice_distill
+from zipvoice_tpu.models.zipvoice import init_zipvoice
+from zipvoice_tpu.utils.diagnostics import (
+    activation_diagnostics,
+    format_diagnostics,
+    param_diagnostics,
+)
+from zipvoice_tpu.utils.hooks import assert_all_finite, find_nonfinite
+
+TINY = dict(
+    fm_decoder_downsampling_factor=(1, 2, 1),
+    fm_decoder_num_layers=(1, 1, 1),
+    fm_decoder_cnn_module_kernel=(9, 7, 9),
+    fm_decoder_feedforward_dim=96,
+    fm_decoder_num_heads=2,
+    fm_decoder_dim=64,
+    text_encoder_num_layers=1,
+    text_encoder_feedforward_dim=48,
+    text_encoder_cnn_module_kernel=5,
+    text_encoder_num_heads=2,
+    text_encoder_dim=48,
+    time_embed_dim=32,
+    text_embed_dim=48,
+    query_head_dim=8,
+    value_head_dim=8,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=16,
+    vocab_size=40,
+    pad_id=0,
+)
+
+
+def test_diagnostics():
+    cfg = ZipVoiceConfig(**TINY)
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    pstats = param_diagnostics(params)
+    assert "embed.weight" in pstats
+    assert pstats["embed.weight"]["rms"] > 0
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 48), dtype=np.float32)
+    astats = activation_diagnostics(
+        params["fm_decoder"], cfg.fm_decoder_config(),
+        rng.standard_normal((2, 16, 48), dtype=np.float32),
+        t=np.array([0.3, 0.6], np.float32),
+    )
+    assert set(astats) >= {"in_proj", "encoders.0", "encoders.2", "out_proj"}
+    text = format_diagnostics(astats)
+    assert "rms" in text and "encoders.1" in text
+
+
+def test_inf_check():
+    tree = {"a": {"w": np.ones(3)}, "b": np.array([1.0, np.nan])}
+    assert find_nonfinite(tree) == ["b"]
+    with pytest.raises(FloatingPointError):
+        assert_all_finite(tree)
+    assert_all_finite({"a": np.ones(2)})
+
+
+def test_dialog_and_stereo_train_step():
+    from zipvoice_tpu.models.dialog import init_zipvoice_dialog_stereo
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.step import TrainConfig, make_train_step
+
+    cfg = ZipVoiceConfig(**TINY)
+    rng = np.random.default_rng(0)
+    opt = scaled_adam(clipping_scale=2.0)
+
+    def batch(feat_mult):
+        return {
+            "tokens": rng.integers(1, 38, (2, 10)).astype(np.int32),
+            "tokens_lens": np.array([8, 6], np.int32),
+            "features": rng.standard_normal(
+                (2, 24, TINY["feat_dim"] * feat_mult)
+            ).astype(np.float32),
+            "features_lens": np.array([24, 18], np.int32),
+        }
+
+    # mono dialog
+    params = init_zipvoice_dialog(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(
+        cfg, opt,
+        TrainConfig(compute_dtype="float32", loss="dialog",
+                    use_regularizers=False),
+    )
+    p2, _, m = step(params, opt.init(params), batch(1),
+                    jax.random.PRNGKey(1), np.int32(1), np.float32(0))
+    assert np.isfinite(float(m["loss"]))
+
+    # stereo two-channel objective with energy loss
+    sparams = init_zipvoice_dialog_stereo(jax.random.PRNGKey(1), cfg)
+    step2 = make_train_step(
+        cfg, opt,
+        TrainConfig(compute_dtype="float32", loss="dialog", stereo=True,
+                    se_weight=1.0, use_regularizers=False),
+    )
+    p3, _, m2 = step2(sparams, opt.init(sparams), batch(2),
+                      jax.random.PRNGKey(2), np.int32(1), np.float32(0))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_distill_train_step():
+    from zipvoice_tpu.train.distill_step import (
+        draw_t_schedule,
+        make_distill_train_step,
+    )
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.step import TrainConfig
+
+    cfg = ZipVoiceConfig(**TINY)
+    dcfg = distill_config(cfg)
+    rng = np.random.default_rng(1)
+    student = init_zipvoice_distill(jax.random.PRNGKey(0), cfg)
+    teacher = jax.tree.map(lambda a: a.copy(), student)
+    opt = scaled_adam(clipping_scale=2.0)
+    step = make_distill_train_step(
+        dcfg, opt, TrainConfig(base_lr=1e-4, compute_dtype="float32",
+                               use_regularizers=False),
+        stage="second",
+    )
+    batch = {
+        "tokens": rng.integers(1, 38, (2, 10)).astype(np.int32),
+        "tokens_lens": np.array([8, 6], np.int32),
+        "features": rng.standard_normal((2, 24, TINY["feat_dim"])).astype(
+            np.float32
+        ),
+        "features_lens": np.array([24, 18], np.int32),
+    }
+    t_triple = np.asarray(draw_t_schedule(rng), np.float32)
+    emb_before = np.asarray(student["embed"]["weight"]).copy()
+    fm_before = np.asarray(
+        student["fm_decoder"]["in_proj"]["weight"]
+    ).copy()
+    s2, t2, _, m = step(student, teacher, opt.init(student), batch,
+                        jax.random.PRNGKey(3), np.int32(1), t_triple)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["ref_loss"]))
+    # only fm_decoder moved
+    np.testing.assert_array_equal(np.asarray(s2["embed"]["weight"]), emb_before)
+    assert np.abs(
+        np.asarray(s2["fm_decoder"]["in_proj"]["weight"]) - fm_before
+    ).max() > 0
+
+
+def test_prepare_and_fbank_clis(tmp_path, monkeypatch):
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.bin import compute_fbank, prepare_dataset
+
+    rng = np.random.default_rng(0)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rows = []
+    for i in range(3):
+        path = wav_dir / f"u{i}.wav"
+        write_wav(path, rng.standard_normal((1, 24000)).astype(np.float32) * 0.1,
+                  24000)
+        rows.append(f"u{i}\thello world {i}\t{path}")
+    tsv = tmp_path / "raw.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prepare_dataset", "--tsv-path", str(tsv), "--output-dir",
+         str(tmp_path / "data"), "--prefix", "t", "--subset", "train"],
+    )
+    prepare_dataset.main()
+    out = (tmp_path / "data" / "t_train.tsv").read_text().strip().split("\n")
+    assert len(out) == 3 and out[0].count("\t") == 4
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["compute_fbank", "--manifest", str(tmp_path / "data" / "t_train.tsv"),
+         "--output-dir", str(tmp_path / "feats"), "--prefix", "t",
+         "--subset", "train", "--shard-size", "2"],
+    )
+    compute_fbank.main()
+    shards = sorted((tmp_path / "feats").glob("*.npz"))
+    assert len(shards) == 2  # 3 utts, shard size 2
+    data = np.load(shards[0])
+    key = list(data.keys())[0]
+    assert data[key].shape[1] == 100 and data[key].dtype == np.float16
+
+
+def test_generate_averaged_model_cli(tmp_path, monkeypatch):
+    from zipvoice_tpu.bin import generate_averaged_model
+    from zipvoice_tpu.train.checkpoint import (
+        init_averaged_model,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = ZipVoiceConfig(**TINY)
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    avg1 = init_averaged_model(params)
+    params2 = jax.tree.map(lambda a: a + 1.0, params)
+    avg2 = init_averaged_model(params2)
+    save_checkpoint(str(tmp_path / "epoch-1.pt"), params, model_avg=avg1,
+                    info={"batch_idx_train": 200, "average_period": 200})
+    save_checkpoint(str(tmp_path / "epoch-2.pt"), params2, model_avg=avg2,
+                    info={"batch_idx_train": 400, "average_period": 200})
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["generate_averaged_model", "--exp-dir", str(tmp_path),
+         "--epoch", "2", "--avg", "1"],
+    )
+    generate_averaged_model.main()
+    out = load_checkpoint(str(tmp_path / "epoch-2-avg-1.pt"))
+    # avg over (1, 2] = (avg2*400 - avg1*200) / 200 = 2*p2 - p = p + 2
+    expect = np.asarray(params["embed"]["weight"]) + 2.0
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["embed"]["weight"]), expect, rtol=1e-6
+    )

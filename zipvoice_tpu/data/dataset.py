@@ -157,6 +157,7 @@ class OnDeviceFbankCollator:
         frame_bucket: int = 64,
         token_bucket: int = 16,
         batch_bucket: int = 8,
+        three_channel: bool = False,
     ):
         self.tokenizer = tokenizer
         self.feat_cfg = feat_cfg
@@ -164,6 +165,10 @@ class OnDeviceFbankCollator:
         self.frame_bucket = frame_bucket
         self.token_bucket = token_bucket
         self.batch_bucket = batch_bucket
+        # stereo recipe: features = [ch0 mel, ch1 mel, mixed mel] (3F), the
+        # trainer slices [:2F] or [2F:] per batch
+        # (ref train_zipvoice_dialog_stereo.py:355-358)
+        self.three_channel = three_channel
 
     @functools.lru_cache(maxsize=64)
     def _fbank_fn(self, num_samples: int):
@@ -174,12 +179,20 @@ class OnDeviceFbankCollator:
 
         fcfg = self.feat_cfg
 
+        three_channel = self.three_channel
+
         @jax.jit
-        def run(wav):  # (B, L)
-            if fcfg.type == "vocos":
-                mel = vocos_log_mel(wav, fcfg)
+        def run(wav):  # (B, L) or (B, 2, L) when three_channel
+            fn = vocos_log_mel if fcfg.type == "vocos" else bigvgan_log_mel
+            if three_channel:
+                mel2 = fn(wav, fcfg)  # (B, 2, T, M)
+                mixed = fn(jnp.mean(wav, axis=1), fcfg)  # (B, T, M)
+                b, _, t, m = mel2.shape
+                mel = jnp.concatenate(
+                    [mel2[:, 0], mel2[:, 1], mixed], axis=-1
+                )  # (B, T, 3M)
             else:
-                mel = bigvgan_log_mel(wav, fcfg)
+                mel = fn(wav, fcfg)
             return (mel + fcfg.feat_bias) * fcfg.feat_scale
 
         return run
@@ -188,7 +201,9 @@ class OnDeviceFbankCollator:
         from zipvoice_tpu.audio.wav import read_wav, resample
 
         wav, sr = read_wav(utt.wav_path)
-        if wav.shape[0] > 1:
+        if self.three_channel:
+            assert wav.shape[0] == 2, f"{utt.wav_path}: stereo wav required"
+        elif wav.shape[0] > 1:
             wav = wav.mean(axis=0, keepdims=True)
         if utt.duration is not None and (utt.start or utt.duration):
             a = int(utt.start * sr)
@@ -196,7 +211,7 @@ class OnDeviceFbankCollator:
             wav = wav[:, a:b]
         if sr != self.feat_cfg.sampling_rate:
             wav = resample(wav, sr, self.feat_cfg.sampling_rate)
-        return wav[0]
+        return wav if self.three_channel else wav[0]
 
     def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
@@ -213,14 +228,19 @@ class OnDeviceFbankCollator:
                 u.tokens = toks
 
         wavs = [self.load_audio(u) for u in utts]
-        num_frames = [compute_num_frames(len(w), hop) for w in wavs]
+        num_frames = [compute_num_frames(w.shape[-1], hop) for w in wavs]
         t_pad = round_up(max(num_frames), self.frame_bucket)
         l_pad = t_pad * hop
         b_pad = round_up(len(utts), self.batch_bucket)
 
-        audio = np.zeros((b_pad, l_pad), np.float32)
-        for i, w in enumerate(wavs):
-            audio[i, : len(w)] = w[:l_pad]
+        if self.three_channel:
+            audio = np.zeros((b_pad, 2, l_pad), np.float32)
+            for i, w in enumerate(wavs):
+                audio[i, :, : w.shape[-1]] = w[:, :l_pad]
+        else:
+            audio = np.zeros((b_pad, l_pad), np.float32)
+            for i, w in enumerate(wavs):
+                audio[i, : len(w)] = w[:l_pad]
 
         feats = np.asarray(self._fbank_fn(l_pad)(jnp.asarray(audio)))
         feats = feats[:, :t_pad]

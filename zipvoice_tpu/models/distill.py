@@ -79,6 +79,27 @@ def sample_intermediate(
     return x
 
 
+def _cfg_velocity_traced_t(
+    params, cfg, t, x, text_condition, speech_condition, padding_mask,
+    guidance_scale,
+):
+    """CFG velocity with a *traced* scalar t: the dual-condition t>0.5 branch
+    becomes a select (ref solver.py:90-98)."""
+    hi = t > 0.5
+    x2 = jnp.concatenate([x, x], axis=0)
+    pm2 = jnp.concatenate([padding_mask, padding_mask], axis=0)
+    tc2 = jnp.concatenate([jnp.zeros_like(text_condition), text_condition], axis=0)
+    sc_hi = jnp.concatenate(
+        [jnp.zeros_like(speech_condition), speech_condition], axis=0
+    )
+    sc_lo = jnp.concatenate([speech_condition, speech_condition], axis=0)
+    sc2 = jnp.where(hi, sc_hi, sc_lo)
+    gs = jnp.where(hi, guidance_scale, 2.0 * guidance_scale).astype(x.dtype)
+    v2 = zv.forward_fm_decoder(params, cfg, t, x2, tc2, sc2, pm2)
+    v_uncond, v_cond = jnp.split(v2, 2, axis=0)
+    return (1.0 + gs) * v_cond - gs * v_uncond
+
+
 def compute_distill_loss(
     student_params: Params,
     teacher_params: Params,
@@ -88,17 +109,22 @@ def compute_distill_loss(
     features: jax.Array,
     features_lens: jax.Array,
     key,
-    t_value: float,
-    t_delta_fix: float,
-    t_delta_ema: float,
+    t_value,
+    t_delta_fix,
+    t_delta_ema,
     stage: str = "first",
+    teacher_distill: bool = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One distillation loss eval (ref train_zipvoice_distill.py:378-518).
 
-    t_value/t_delta_* are Python floats drawn on host per step like the
-    reference's random.random()/random.uniform (ref :420-429), which keeps
-    the integration limits trace-static.  Returns (loss, ref_loss).
+    t_value/t_delta_* may be traced scalars (drawn per step; passing them as
+    inputs keeps a single compiled step like the reference's host-side
+    random.random()/uniform draws at :420-429 but without retraces).
+    stage 'first': teacher is the base CFG model; 'second': teacher is the
+    EMA of the guidance-embedded student.  Returns (loss, ref_loss).
     """
+    if teacher_distill is None:
+        teacher_distill = stage != "first"
     b, num_frames, _ = features.shape
     k_noise, k_gs, k_mask = jax.random.split(key, 3)
     noise = jax.random.normal(k_noise, features.shape, features.dtype)
@@ -108,39 +134,47 @@ def compute_distill_loss(
         guidance_scale = jax.random.uniform(k_gs, (b, 1, 1)) * 2.0 + 1.0
     guidance_scale = guidance_scale.astype(features.dtype)
 
-    t = jnp.full((b, 1, 1), t_value, features.dtype)
+    t_value = jnp.asarray(t_value, jnp.float32)
+    t_delta_fix = jnp.asarray(t_delta_fix, jnp.float32)
+    t_delta_ema = jnp.asarray(t_delta_ema, jnp.float32)
+    t_mid = t_value + t_delta_fix
+    t_dest = t_mid + t_delta_ema
+
+    t = jnp.asarray(t_value, features.dtype).reshape(1, 1, 1)
     xt = features * t + noise * (1.0 - t)
-    t_dest = t_value + t_delta_fix + t_delta_ema
 
     speech_condition_mask = zv.condition_time_mask(
         k_mask, features_lens, num_frames, (0.7, 1.0)
     )
+    speech_condition = jnp.where(
+        speech_condition_mask[:, :, None], 0.0, features
+    )
+
+    def hop(params, x, t0, t1, distill_path):
+        tc, pm = zv.forward_text_train(
+            params, cfg, tokens_padded, tokens_lens, features_lens,
+            num_frames, dtype=features.dtype,
+        )
+        if distill_path:
+            v = zv.forward_fm_decoder(
+                params, cfg, t0, x, tc, speech_condition, pm,
+                guidance_scale=guidance_scale[:, 0, 0],
+            )
+        else:
+            v = _cfg_velocity_traced_t(
+                params, cfg, t0, x, tc, speech_condition, pm, guidance_scale
+            )
+        return x + v * (t1 - t0).astype(v.dtype)
 
     # teacher: two chained one-step hops, no gradient
-    teacher = jax.lax.stop_gradient
-    x_mid = sample_intermediate(
-        teacher_params, cfg, tokens_padded, tokens_lens, features,
-        features_lens, xt, speech_condition_mask,
-        t_start=t_value, t_end=t_value + t_delta_fix, num_step=1,
-        guidance_scale=guidance_scale,
-    )
-    target_x1 = sample_intermediate(
-        teacher_params, cfg, tokens_padded, tokens_lens, features,
-        features_lens, teacher(x_mid), speech_condition_mask,
-        t_start=t_value + t_delta_fix, t_end=t_dest, num_step=1,
-        guidance_scale=guidance_scale,
-    )
-    target_x1 = teacher(target_x1)
+    sg = jax.lax.stop_gradient
+    x_mid = hop(teacher_params, xt, t_value, t_mid, teacher_distill)
+    target_x1 = sg(hop(teacher_params, sg(x_mid), t_mid, t_dest, teacher_distill))
 
-    # student: one hop across the whole span
-    pred_x1 = sample_intermediate(
-        student_params, cfg, tokens_padded, tokens_lens, features,
-        features_lens, xt, speech_condition_mask,
-        t_start=t_value, t_end=t_dest, num_step=1,
-        guidance_scale=guidance_scale,
-    )
+    # student: one hop across the whole span (always the distill path)
+    pred_x1 = hop(student_params, xt, t_value, t_dest, True)
 
-    denom = jnp.float32(t_dest - t_value)
+    denom = (t_dest - t_value).astype(jnp.float32)
     pred_v = (pred_x1 - xt).astype(jnp.float32) / denom
     target_v = (target_x1 - xt).astype(jnp.float32) / denom
 

@@ -55,6 +55,7 @@ class ZipVoicePipeline:
         tokenizer=None,
         dtype=jnp.float32,
         distill: bool = False,
+        variant: str = "zipvoice",  # zipvoice | dialog | dialog_stereo
         token_bucket: int = 32,
         frame_bucket: int = 128,
     ):
@@ -72,6 +73,7 @@ class ZipVoicePipeline:
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.distill = distill
+        self.variant = variant
         self.token_bucket = token_bucket
         self.frame_bucket = frame_bucket
 
@@ -83,15 +85,27 @@ class ZipVoicePipeline:
         distill = self.distill
         feat_scale, feat_bias = self.feat_cfg.feat_scale, self.feat_cfg.feat_bias
 
+        variant = self.variant
+
         @jax.jit
         def run(params, tokens_padded, tokens_lens, prompt_features,
                 prompt_features_lens, features_lens, noise):
-            x1 = zv.sample(
-                params, cfg, tokens_padded, tokens_lens, prompt_features,
-                prompt_features_lens, features_lens, noise,
-                num_step=num_step, guidance_scale=guidance_scale,
-                t_shift=t_shift, distill=distill,
-            )
+            if variant == "zipvoice":
+                x1 = zv.sample(
+                    params, cfg, tokens_padded, tokens_lens, prompt_features,
+                    prompt_features_lens, features_lens, noise,
+                    num_step=num_step, guidance_scale=guidance_scale,
+                    t_shift=t_shift, distill=distill,
+                )
+            else:
+                from zipvoice_tpu.models.dialog import sample_dialog
+
+                x1 = sample_dialog(
+                    params, cfg, tokens_padded, tokens_lens, prompt_features,
+                    prompt_features_lens, features_lens, noise,
+                    num_step=num_step, guidance_scale=guidance_scale,
+                    t_shift=t_shift,
+                )
             # strip prompt: roll generated region to the front, zero the rest
             # (mask-based equivalent of ref zipvoice.py:469-484)
             t = x1.shape[1]
@@ -121,10 +135,11 @@ class ZipVoicePipeline:
     @functools.lru_cache(maxsize=8)
     def _extract_fn(self, num_samples: int):
         fcfg = self.feat_cfg
+        num_channels = 2 if self.variant == "dialog_stereo" else 1
 
         @jax.jit
         def run(wav):
-            feats = extract_features(wav, fcfg)
+            feats = extract_features(wav, fcfg, num_channels=num_channels)
             return (feats + fcfg.feat_bias) * fcfg.feat_scale
 
         return run
@@ -261,3 +276,16 @@ class ZipVoicePipeline:
         wav = np.asarray(wav[0], np.float32)
         out_len = max(gen_len - 1, 1) * self.vocos_cfg.hop_length
         return np.clip(wav[:out_len], -1.0, 1.0)
+
+    def vocode_stereo(self, mel, gen_len: int) -> np.ndarray:
+        """Per-channel vocoding for the stereo model: (T, 2F) mel -> (2, L)
+        wav (ref infer_zipvoice_dialog.py:482-490 vocode-left/right)."""
+        assert self.vocos_params is not None, "pipeline needs vocoder weights"
+        f = mel.shape[-1] // 2
+        pair = jnp.stack(
+            [jnp.asarray(mel[..., :f], self.dtype),
+             jnp.asarray(mel[..., f:], self.dtype)], axis=0
+        )
+        wav = np.asarray(self._vocode_fn()(self.vocos_params, pair), np.float32)
+        out_len = max(gen_len - 1, 1) * self.vocos_cfg.hop_length
+        return np.clip(wav[:, :out_len], -1.0, 1.0)

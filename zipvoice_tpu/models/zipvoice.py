@@ -307,16 +307,19 @@ def cfg_velocity(
 ) -> jax.Array:
     """One classifier-free-guidance velocity eval (ref solver.py:40-110, 127-165).
 
-    `t` and `guidance_scale` are Python floats -> the dual-condition branch
-    (drop speech cond for t>0.5, else double the scale) is resolved at trace
-    time and the unconditioned/conditioned passes run as one 2B batch.
+    `t` is a Python float -> the dual-condition branch (drop speech cond for
+    t>0.5, else double the scale) is resolved at trace time and the
+    unconditioned/conditioned passes run as one 2B batch.  guidance_scale may
+    be a float or a per-sample (B, 1, 1) array (the reference allows tensors
+    at solver.py:66-69; the distillation teacher uses per-sample scales).
     """
     if distill:
+        gs = jnp.asarray(guidance_scale, jnp.float32)
         return forward_fm_decoder(
             params, cfg, jnp.float32(t), x, text_condition, speech_condition,
-            padding_mask, guidance_scale=jnp.float32(guidance_scale),
+            padding_mask, guidance_scale=gs,
         )
-    if guidance_scale == 0.0:
+    if isinstance(guidance_scale, float) and guidance_scale == 0.0:
         return forward_fm_decoder(
             params, cfg, jnp.float32(t), x, text_condition, speech_condition,
             padding_mask,
@@ -325,14 +328,14 @@ def cfg_velocity(
     x2 = jnp.concatenate([x, x], axis=0)
     pm2 = jnp.concatenate([padding_mask, padding_mask], axis=0)
     tc2 = jnp.concatenate([jnp.zeros_like(text_condition), text_condition], axis=0)
+    gs = jnp.asarray(guidance_scale, x.dtype)
     if t > 0.5:
         sc2 = jnp.concatenate(
             [jnp.zeros_like(speech_condition), speech_condition], axis=0
         )
-        gs = guidance_scale
     else:
         sc2 = jnp.concatenate([speech_condition, speech_condition], axis=0)
-        gs = guidance_scale * 2.0
+        gs = gs * 2.0
     v2 = forward_fm_decoder(params, cfg, jnp.float32(t), x2, tc2, sc2, pm2)
     v_uncond, v_cond = jnp.split(v2, 2, axis=0)
     return (1.0 + gs) * v_cond - gs * v_uncond

@@ -46,13 +46,13 @@ def save_checkpoint(
 
     ckpt: Dict[str, Any] = {
         "model": {
-            k: torch.from_numpy(np.ascontiguousarray(v))
+            k: torch.from_numpy(np.ascontiguousarray(v).copy())
             for k, v in params_to_state_dict(_to_numpy_tree(params)).items()
         }
     }
     if model_avg is not None:
         ckpt["model_avg"] = {
-            k: torch.from_numpy(np.ascontiguousarray(v)).to(torch.float64)
+            k: torch.from_numpy(np.ascontiguousarray(v).copy()).to(torch.float64)
             for k, v in params_to_state_dict(_to_numpy_tree(model_avg)).items()
         }
     if opt_state is not None:

@@ -42,6 +42,12 @@ class TrainConfig:
     # whitening, ... — the reference scaling kit).  Schedule values are
     # computed host-side per step and fed as traced scalars.
     use_regularizers: bool = True
+    # loss variant: "base" (interior-span condition mask) or "dialog"
+    # (suffix mask + speaker embeddings); "dialog" with stereo=True adds the
+    # speaker-exclusive energy loss weighted by se_weight
+    loss: str = "base"
+    stereo: bool = False
+    se_weight: float = 0.0
 
 
 def make_train_step(
@@ -68,6 +74,15 @@ def make_train_step(
         t = jax.random.uniform(k_t, (b, 1, 1), dtype)
         noise = jax.random.normal(k_noise, features.shape, dtype)
         cparams = jax.tree.map(lambda a: a.astype(dtype), params)
+        if train_cfg.loss == "dialog":
+            from zipvoice_tpu.models.dialog import compute_fm_loss_dialog
+
+            return compute_fm_loss_dialog(
+                cparams, model_cfg, batch["tokens"], batch["tokens_lens"],
+                features, batch["features_lens"], noise, t, k_mask,
+                condition_drop_ratio=train_cfg.condition_drop_ratio,
+                se_weight=train_cfg.se_weight, stereo=train_cfg.stereo,
+            )
         return compute_fm_loss(
             cparams,
             model_cfg,

@@ -93,6 +93,8 @@ class Trainer:
 
         self.step_fn = make_train_step(model_cfg, opt, train_cfg, mesh=mesh)
         self.eval_fn = make_eval_step(model_cfg, train_cfg, mesh=mesh)
+        # variants with per-batch objectives (stereo alternation) swap this:
+        self.active_step_fn = None
         self.tracker = MetricsTracker()
         if train_cfg.use_regularizers:
             from zipvoice_tpu.train.schedules import zipformer_schedules
@@ -154,7 +156,8 @@ class Trainer:
             schedules = self._sched_fn(count)
         else:
             schedules = None
-        self.params, self.opt_state, metrics = self.step_fn(
+        step_fn = self.active_step_fn or self.step_fn
+        self.params, self.opt_state, metrics = step_fn(
             self.params, self.opt_state, batch, rng,
             np.int32(self.batch_idx_train), np.float32(self._epoch_value()),
             schedules,
