@@ -30,6 +30,8 @@ class Utterance:
     start: float = 0.0
     duration: Optional[float] = None  # seconds; probed lazily if None
     tokens: Optional[List[int]] = None
+    sample_rate: Optional[int] = None  # cached by probe_duration
+    num_samples: Optional[int] = None
 
 
 def read_tsv_manifest(path) -> List[Utterance]:
@@ -51,7 +53,9 @@ def read_tsv_manifest(path) -> List[Utterance]:
 def probe_duration(utt: Utterance) -> float:
     if utt.duration is None:
         with wave.open(utt.wav_path, "rb") as w:
-            utt.duration = w.getnframes() / w.getframerate()
+            utt.sample_rate = w.getframerate()
+            utt.num_samples = w.getnframes()
+            utt.duration = utt.num_samples / utt.sample_rate
     return utt.duration
 
 
@@ -213,6 +217,34 @@ class OnDeviceFbankCollator:
             wav = resample(wav, sr, self.feat_cfg.sampling_rate)
         return wav if self.three_channel else wav[0]
 
+    def _load_batch_audio(self, utts: List[Utterance]) -> List[np.ndarray]:
+        """Load a batch's audio: native thread-pooled decode+resample when
+        the C++ IO runtime is available (ops/native.py), else per-file numpy."""
+        sr_t = self.feat_cfg.sampling_rate
+        can_native = (
+            not self.three_channel
+            and all(u.start == 0.0 for u in utts)
+        )
+        if can_native:
+            try:
+                from zipvoice_tpu.ops import native
+
+                if native.available():
+                    for u in utts:
+                        if u.sample_rate is None:
+                            probe_duration(u)
+                    exp = [
+                        -(-u.num_samples * sr_t // u.sample_rate)
+                        for u in utts
+                    ]
+                    audio, lens = native.batch_load_wav(
+                        [u.wav_path for u in utts], sr_t, int(max(exp))
+                    )
+                    return [audio[i, : lens[i]] for i in range(len(utts))]
+            except Exception:  # noqa: BLE001 — fall back to numpy path
+                pass
+        return [self.load_audio(u) for u in utts]
+
     def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
 
@@ -227,7 +259,7 @@ class OnDeviceFbankCollator:
             for u, toks in zip(utts, token_lists):
                 u.tokens = toks
 
-        wavs = [self.load_audio(u) for u in utts]
+        wavs = self._load_batch_audio(utts)
         num_frames = [compute_num_frames(w.shape[-1], hop) for w in wavs]
         t_pad = round_up(max(num_frames), self.frame_bucket)
         l_pad = t_pad * hop

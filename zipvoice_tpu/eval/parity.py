@@ -1,0 +1,138 @@
+"""Mel-fidelity parity harness: our jitted sampler vs the reference torch
+model on the SAME checkpoint and SAME noise.
+
+This is the BASELINE.md acceptance instrument (mel MSE < 1e-3): it loads a
+model dir into both stacks, builds identical conditioning, injects one noise
+tensor into both solvers, and reports the mel MSE.  Works offline — the
+reference side needs only torch (+ the mounted reference source), not
+lhotse/torchaudio/vocos.
+
+Usage:
+  python -m zipvoice_tpu.eval.parity --model-dir exp/zipvoice \
+      --reference-path /root/reference [--num-step 16] [--seconds 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List
+
+import numpy as np
+
+
+def run_parity(
+    model_dir: str,
+    reference_path: str = "/root/reference",
+    num_step: int = 16,
+    guidance_scale: float = 1.0,
+    t_shift: float = 0.5,
+    seconds: float = 5.0,
+    prompt_seconds: float = 2.0,
+    seed: int = 0,
+    tokenizer: str = "simple",
+) -> float:
+    sys.path.insert(0, reference_path)
+    import torch
+
+    from zipvoice.models.zipvoice import ZipVoice as RefZipVoice
+    from zipvoice.utils.common import make_pad_mask as ref_make_pad_mask
+
+    from zipvoice_tpu.io.model_dir import load_model_dir
+    from zipvoice_tpu.models import zipvoice as zv
+
+    assets = load_model_dir(model_dir=model_dir, tokenizer_name=tokenizer)
+    cfg = assets.model_cfg
+
+    # reference model with the same weights
+    import dataclasses
+    import json
+    from pathlib import Path
+
+    raw = json.loads((Path(model_dir) / "model.json").read_text())["model"]
+    ref_model = RefZipVoice(
+        **raw, vocab_size=cfg.vocab_size, pad_id=cfg.pad_id
+    )
+    ckpt = torch.load(Path(model_dir) / "model.pt", map_location="cpu",
+                      weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    ref_model.load_state_dict(sd, strict=True)
+    ref_model.eval()
+
+    # synthetic conditioning shared by both sides
+    rng = np.random.default_rng(seed)
+    frame_rate = assets.feat_cfg.frame_rate
+    total = int(seconds * frame_rate)
+    prompt_len = int(prompt_seconds * frame_rate)
+    f = cfg.feat_dim
+    vocab = cfg.vocab_size
+    tokens: List[int] = list(rng.integers(1, vocab, 24))
+    prompt_tokens: List[int] = list(rng.integers(1, vocab, 10))
+    cat = prompt_tokens + tokens
+    prompt_feats = (rng.standard_normal((prompt_len, f)) * 0.1).astype(np.float32)
+    noise = rng.standard_normal((1, total, f)).astype(np.float32)
+
+    # --- reference path (compose like ZipVoice.sample with injected noise)
+    with torch.no_grad():
+        embed, tl = ref_model.forward_text_embed([cat])
+        text_cond, pad_mask = ref_model.forward_text_condition(
+            embed, tl, torch.tensor([total])
+        )
+        pmask = ref_make_pad_mask(torch.tensor([prompt_len]), total)
+        pf = torch.zeros(1, total, f)
+        pf[0, :prompt_len] = torch.from_numpy(prompt_feats)
+        speech_cond = torch.where(pmask.unsqueeze(-1), torch.zeros(1), pf)
+        ref_x1 = ref_model.solver.sample(
+            x=torch.from_numpy(noise), text_condition=text_cond,
+            speech_condition=speech_cond, padding_mask=pad_mask,
+            num_step=num_step, guidance_scale=guidance_scale, t_shift=t_shift,
+        ).numpy()[0]
+
+    # --- our path (same exact shapes, no bucketing)
+    tokens_padded = zv.pad_labels([cat], cfg.pad_id)
+    pf_np = np.zeros((1, total, f), np.float32)
+    pf_np[0, :prompt_len] = prompt_feats
+    x1 = np.asarray(
+        zv.sample(
+            assets.params, cfg, tokens_padded,
+            np.array([len(cat)], np.int32), pf_np,
+            np.array([prompt_len], np.int32), np.array([total], np.int32),
+            noise, num_step=num_step, guidance_scale=guidance_scale,
+            t_shift=t_shift,
+        )
+    )[0]
+
+    from zipvoice_tpu.eval.metrics import mel_mse
+
+    mse = mel_mse(x1, ref_x1)
+    logging.info(
+        "mel parity: mse=%.3e max=%.3e (target < 1e-3)",
+        mse, float(np.abs(x1 - ref_x1).max()),
+    )
+    return mse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", type=str, required=True)
+    p.add_argument("--reference-path", type=str, default="/root/reference")
+    p.add_argument("--num-step", type=int, default=16)
+    p.add_argument("--guidance-scale", type=float, default=1.0)
+    p.add_argument("--t-shift", type=float, default=0.5)
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--tokenizer", type=str, default="simple")
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    mse = run_parity(
+        args.model_dir, args.reference_path, args.num_step,
+        args.guidance_scale, args.t_shift, args.seconds,
+        tokenizer=args.tokenizer,
+    )
+    ok = mse < 1e-3
+    print(f"mel_mse={mse:.3e} {'PASS' if ok else 'FAIL'}")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Speaker-similarity evaluation (SIM-o) — ref zipvoice/eval/speaker_similarity/.
+
+Embeds prompt and generated wavs with a speaker encoder and reports mean
+cosine similarity.  The reference uses a WavLM-large + ECAPA-TDNN stack
+(ref sim.py:77-197, eval/models/ecapa_tdnn_wavlm.py); here the embedding
+backend is pluggable with a WavLM-base HF default (weights download on first
+use).  cpSIM (ref cpsim.py) additionally needs diarization; given an RTTM
+or [S1]/[S2] split it reduces to per-speaker SIM with best permutation —
+see cp_sim().
+
+Usage:
+  python -m zipvoice_tpu.eval.sim --wav-dir results --test-list test.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from itertools import permutations
+from pathlib import Path
+
+import numpy as np
+
+
+class SpeakerEncoder:
+    """Mean-pooled WavLM embedding as a lightweight SIM backbone.  Swap in a
+    finetuned speaker-verification head for paper-comparable numbers."""
+
+    def __init__(self, model_name: str = "microsoft/wavlm-base-plus-sv"):
+        import torch
+        from transformers import AutoFeatureExtractor, AutoModel
+
+        self.torch = torch
+        self.fe = AutoFeatureExtractor.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name)
+        self.model.eval()
+
+    def embed(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        from zipvoice_tpu.audio.wav import resample
+
+        wav = resample(np.asarray(wav, np.float32).reshape(1, -1), sr, 16000)[0]
+        inputs = self.fe(wav, sampling_rate=16000, return_tensors="pt")
+        with self.torch.no_grad():
+            out = self.model(**inputs)
+        if hasattr(out, "embeddings"):
+            emb = out.embeddings[0]
+        else:
+            emb = out.last_hidden_state.mean(dim=1)[0]
+        return emb.numpy()
+
+
+def cp_sim(encoder, gen_tracks, prompt_tracks, sr: int) -> float:
+    """Best-permutation per-speaker similarity (ref cpsim.py): gen_tracks and
+    prompt_tracks are per-speaker waveform lists (2 each)."""
+    from zipvoice_tpu.eval.metrics import cosine_similarity
+
+    g = [encoder.embed(w, sr) for w in gen_tracks]
+    p = [encoder.embed(w, sr) for w in prompt_tracks]
+    best = -1.0
+    for perm in permutations(range(len(p))):
+        score = float(
+            np.mean([cosine_similarity(g[i], p[j]) for i, j in enumerate(perm)])
+        )
+        best = max(best, score)
+    return best
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--wav-dir", type=str, required=True)
+    parser.add_argument("--test-list", type=str, required=True,
+                        help="TSV: name\\tprompt_text\\tprompt_wav\\ttext")
+    parser.add_argument("--model", type=str,
+                        default="microsoft/wavlm-base-plus-sv")
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from zipvoice_tpu.audio.wav import read_wav
+    from zipvoice_tpu.eval.metrics import cosine_similarity
+
+    enc = SpeakerEncoder(args.model)
+    scores = []
+    rows = []
+    with open(args.test_list, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            name, _ptext, pwav, _text = line.rstrip("\n").split("\t")[:4]
+            gen_path = Path(args.wav_dir) / f"{name}.wav"
+            if not gen_path.exists():
+                continue
+            g, gsr = read_wav(gen_path)
+            p, psr = read_wav(pwav)
+            s = cosine_similarity(
+                enc.embed(g.mean(axis=0), gsr), enc.embed(p.mean(axis=0), psr)
+            )
+            scores.append(s)
+            rows.append((name, s))
+
+    overall = float(np.mean(scores)) if scores else float("nan")
+    logging.info("SIM over %d utts: %.4f", len(scores), overall)
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write(f"SIM\t{overall:.6f}\n")
+            for name, s in rows:
+                f.write(f"{name}\t{s:.4f}\n")
+
+
+if __name__ == "__main__":
+    main()
