@@ -147,9 +147,11 @@ class ZipVoicePipeline:
     # ------------------------------------------------------------------ api
 
     def prompt_features(self, prompt_wav: np.ndarray, sr: int,
-                        target_rms: float = 0.1) -> Tuple[np.ndarray, float]:
+                        target_rms: float = 0.1):
         """Resample + RMS-normalize + fbank the prompt
-        (ref infer_zipvoice.py:332-349).  Returns ((Tp, F), prompt_rms)."""
+        (ref infer_zipvoice.py:332-349).  Returns ((Tp, F) device array,
+        prompt_rms) — features stay on device; the tunnel/PCIe hop is the
+        expensive resource, not the fbank."""
         wav = np.asarray(prompt_wav, np.float32)
         if wav.ndim == 1:
             wav = wav[None, :]
@@ -159,7 +161,7 @@ class ZipVoicePipeline:
         if prompt_rms < target_rms:
             wav = wav * (target_rms / prompt_rms)
         feats = self._extract_fn(wav.shape[-1])(jnp.asarray(wav, self.dtype))
-        return np.asarray(feats), prompt_rms
+        return feats, prompt_rms
 
     def synthesize(
         self,
@@ -239,8 +241,16 @@ class ZipVoicePipeline:
         tokens_padded[0, : len(row)] = row
         tokens_lens = np.array([len(cat_tokens)], np.int32)
 
-        pf = np.zeros((1, t_pad, prompt_feats.shape[-1]), np.float32)
-        pf[0, :prompt_len_frames] = prompt_feats
+        # pad prompt features on whichever side they live; device arrays
+        # never round-trip to host
+        if isinstance(prompt_feats, jax.Array):
+            pf = jnp.zeros((1, t_pad, prompt_feats.shape[-1]), self.dtype)
+            pf = pf.at[0, :prompt_len_frames].set(
+                prompt_feats.astype(self.dtype)
+            )
+        else:
+            pf = np.zeros((1, t_pad, prompt_feats.shape[-1]), np.float32)
+            pf[0, :prompt_len_frames] = prompt_feats
         if noise is None:
             # generated on device; never round-trips to host
             noise = jax.random.normal(
@@ -269,13 +279,29 @@ class ZipVoicePipeline:
         # gen_lens scalar syncs to host.
         return mel[0], int(gen_lens[0])
 
+    @functools.lru_cache(maxsize=8)
+    def _vocode_i16_fn(self):
+        """Vocoder emitting PCM16: halves the device->host wav transfer,
+        which dominates vocoding wall time on remote-attached chips."""
+        vcfg = self.vocos_cfg
+
+        @jax.jit
+        def run(vparams, mel):
+            wav = vocos_decode(vparams, mel, vcfg)
+            wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+            return jnp.round(wav * 32767.0).astype(jnp.int16)
+
+        return run
+
     def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""
         assert self.vocos_params is not None, "pipeline needs vocoder weights"
-        wav = self._vocode_fn()(self.vocos_params, jnp.asarray(mel, self.dtype)[None])
-        wav = np.asarray(wav[0], np.float32)
+        pcm = self._vocode_i16_fn()(
+            self.vocos_params, jnp.asarray(mel, self.dtype)[None]
+        )
+        wav = np.asarray(pcm[0]).astype(np.float32) / 32767.0
         out_len = max(gen_len - 1, 1) * self.vocos_cfg.hop_length
-        return np.clip(wav[:out_len], -1.0, 1.0)
+        return wav[:out_len]
 
     def vocode_stereo(self, mel, gen_len: int) -> np.ndarray:
         """Per-channel vocoding for the stereo model: (T, 2F) mel -> (2, L)
@@ -286,6 +312,7 @@ class ZipVoicePipeline:
             [jnp.asarray(mel[..., :f], self.dtype),
              jnp.asarray(mel[..., f:], self.dtype)], axis=0
         )
-        wav = np.asarray(self._vocode_fn()(self.vocos_params, pair), np.float32)
+        pcm = self._vocode_i16_fn()(self.vocos_params, pair)
+        wav = np.asarray(pcm).astype(np.float32) / 32767.0
         out_len = max(gen_len - 1, 1) * self.vocos_cfg.hop_length
-        return np.clip(wav[:, :out_len], -1.0, 1.0)
+        return wav[:, :out_len]

@@ -39,6 +39,23 @@ from zipvoice_tpu.nn.functional import (
 
 Params = Dict[str, object]
 
+# Fused Pallas attention-probabilities kernel (ops/attention.py): None = auto
+# (use on TPU for T % 128 == 0 eval-mode calls), True/False = force.
+_FUSED_ATTENTION: Optional[bool] = None
+
+
+def set_fused_attention(enabled: Optional[bool]):
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = enabled
+
+
+def _fused_attention_wanted(t: int, ctx) -> bool:
+    if ctx is not None or t % 128 != 0:
+        return False
+    if _FUSED_ATTENTION is not None:
+        return _FUSED_ATTENTION
+    return jax.default_backend() == "tpu"
+
 
 # ---------------------------------------------------------------------------
 # Initialization (matches torch default statistics; see io/checkpoint.py for
@@ -332,11 +349,18 @@ def _attention_weights(
     q = q.reshape(b, t, h, qd)
     k = k.reshape(b, t, h, qd)
 
+    pe = linear(p["linear_pos"], pos_emb.astype(x.dtype)).reshape(2 * t - 1, h, pd)
+
+    if _fused_attention_wanted(t, ctx):
+        from zipvoice_tpu.ops.attention import rel_attention_probs
+
+        return rel_attention_probs(
+            q, k, pq, pe, key_padding_mask, out_dtype=jnp.float32
+        )
+
     attn_scores = jnp.einsum(
         "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
     )
-
-    pe = linear(p["linear_pos"], pos_emb.astype(x.dtype)).reshape(2 * t - 1, h, pd)
     # (B,T,H,pd) x (2T-1,H,pd) -> (B,H,T,2T-1), then rel-shift to (B,H,T,T)
     pos_scores = jnp.einsum(
         "bthd,nhd->bhtn", pq, pe, preferred_element_type=jnp.float32

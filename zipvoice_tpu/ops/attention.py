@@ -1,0 +1,127 @@
+"""Fused relative-position attention-weights kernel (Pallas, TPU).
+
+The Zipformer attention computes probs = softmax(q k^T + rel_pos_scores)
+where rel_pos_scores[i, j] = pq[i] . pe[j - i + T - 1]  (ref zipformer.py:
+1205-1250 uses an as_strided shear).  The XLA formulation materializes a
+(B, H, T, 2T-1) float32 tensor in HBM, shears it (another full copy), adds,
+then runs softmax as a separate pass — at T~1000 that is ~180 MB of HBM
+traffic per layer for ~0 FLOPs.
+
+This kernel computes everything tile-wise in VMEM: for each 128-row tile it
+does the (TI, qd) x (qd, T) qk matmul on the MXU, the (TI, pd) x (pd, T+TI)
+positional matmul against a *band* of pe rows, applies the shear as a
+zero-copy flatten/reshape inside VMEM, adds the -1000 key-padding fill, and
+writes out softmaxed probabilities — one HBM write of the final (TI, T) tile
+and nothing else.
+
+Numerics match the XLA path: scores accumulate in f32, softmax in f32 (the
+max-subtracted form; exp(-1000) underflows to 0 exactly like the reference's
+masked softmax).  The output dtype is selectable (bf16 halves the consumer
+traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
+    """Grid: (B*H, T // TILE); refs carry a leading singleton block dim.
+
+    q_ref:   (1, TILE, qd)   row-tile queries
+    k_ref:   (1, T, qd)      all keys of this (b, h)
+    pq_ref:  (1, TILE, pd)   positional queries
+    pe_ref:  (1, 2T, pd)     projected positional encodings of this h
+                             (row n encodes offset n - (T-1); row 2T-1 pad)
+    mask_ref:(1, 1, T) int8  key padding (1 = masked)
+    out_ref: (1, TILE, T)    softmaxed attention probabilities
+    """
+    t = k_ref.shape[1]
+    ti = q_ref.shape[1]
+    i0 = pl.program_id(1) * ti
+
+    qk = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, T)
+
+    # positional band: global pe row for (r, j) is j - (i0 + r) + T - 1;
+    # rows [T - TILE - i0, T - TILE - i0 + T + TILE) cover the whole tile.
+    band = pe_ref[0, pl.ds(t - ti - i0, t + ti), :]  # (T+TILE, pd)
+    pos_full = jax.lax.dot_general(
+        pq_ref[0], band,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, T+TILE)
+
+    # shear: pos[r, j] = pos_full[r, (TILE-1) - r + j], via flatten/reshape
+    # (all slice bounds static -> lax.slice, no dynamic_slice in Mosaic)
+    flat = pos_full.reshape(ti * (t + ti))
+    sheared = flat[ti - 1 : ti - 1 + ti * (t + ti - 1)].reshape(
+        ti, t + ti - 1
+    )[:, :t]
+
+    scores = qk + sheared
+    scores = jnp.where(mask_ref[0, 0, :][None, :] != 0, -1000.0, scores)
+    scores = scores - jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    out_ref[0] = probs.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def rel_attention_probs(
+    q: jax.Array,  # (B, T, H, qd)
+    k: jax.Array,  # (B, T, H, qd)
+    pq: jax.Array,  # (B, T, H, pd)
+    pe: jax.Array,  # (2T-1, H, pd)  projected positional encodings
+    key_padding_mask: Optional[jax.Array],  # (B, T) bool or None
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention probabilities (B, H, T, T).  T must be a multiple of
+    TILE (the pipeline's frame buckets guarantee it); other shapes use the
+    XLA fallback in nn/zipformer.py."""
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    assert t % TILE == 0, t
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, t, pd)
+    peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)  # (H,2T,pd)
+    if key_padding_mask is None:
+        maskb = jnp.zeros((b, 1, t), jnp.int8)
+    else:
+        maskb = key_padding_mask.astype(jnp.int8)[:, None, :]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b * h, t // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, qd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, pd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda bh, ti: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, t), lambda bh, ti: (bh, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, t), out_dtype),
+        interpret=interpret,
+    )(qh, kh, pqh, peh, maskb)
+    return out.reshape(b, h, t, t)
