@@ -2,7 +2,9 @@
 
 Measures RTF of the flagship config: ZipVoice 123M, 16-step Euler with CFG,
 ~10 s of 24 kHz audio (938 mel frames), text encoder + ODE + Vocos vocoder,
-bf16 — the BASELINE.md target is RTF <= 0.05 on one v5e chip.
+bf16 — the BASELINE.md target is RTF <= 0.05 on one v5e chip.  Also times
+one data-parallel training step (CFM loss + backward + ScaledAdam, with the
+stochastic regularizers live) and reports seconds-of-audio/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = target / value  (>1 means faster than the 0.05-RTF target).
@@ -19,6 +21,48 @@ TARGET_RTF = 0.05
 SECONDS_OF_AUDIO = 10.0
 NUM_STEP = 16
 GUIDANCE = 1.0
+
+
+def _train_throughput(cfg) -> float:
+    """One DP training step (regularizers live) on B=8 x 1024-frame batch ->
+    seconds of audio per wall second per chip."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.schedules import zipformer_schedules
+    from zipvoice_tpu.train.step import TrainConfig, make_train_step
+
+    rng = np.random.default_rng(0)
+    b, t = 8, 1024
+    batch = {
+        "tokens": rng.integers(1, cfg.vocab_size, (b, 128)).astype(np.int32),
+        "tokens_lens": np.full((b,), 100, np.int32),
+        "features": rng.standard_normal((b, t, cfg.feat_dim)).astype(np.float32),
+        "features_lens": np.full((b,), 1000, np.int32),
+    }
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    opt = scaled_adam(clipping_scale=2.0)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, TrainConfig(compute_dtype="bfloat16"))
+    sched = zipformer_schedules(10000.0, cfg.fm_decoder_config())
+    key = jax.random.PRNGKey(1)
+
+    params, opt_state, m = step(params, opt_state, batch, key,
+                                np.int32(1), np.float32(0), sched)
+    jax.block_until_ready(m["loss"])
+    n = 5
+    t0 = time.monotonic()
+    for i in range(n):
+        params, opt_state, m = step(params, opt_state, batch, key,
+                                    np.int32(i + 2), np.float32(0), sched)
+    jax.block_until_ready(m["loss"])
+    step_time = (time.monotonic() - t0) / n
+    audio_seconds = float(np.sum(batch["features_lens"])) * 256 / 24000
+    return audio_seconds / step_time
 
 
 def main():
@@ -81,6 +125,8 @@ def main():
     tm = float(np.median(times_model))
     tv = float(np.median(times_voc))
     rtf = (tm + tv) / wav_secs
+
+    train_tp = _train_throughput(cfg)
     result = {
         "metric": "inference_rtf_zipvoice123M_16step",
         "value": round(rtf, 5),
@@ -90,6 +136,7 @@ def main():
             "rtf_model": round(tm / wav_secs, 5),
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
+            "train_sec_audio_per_sec_per_chip": round(train_tp, 2),
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
         },

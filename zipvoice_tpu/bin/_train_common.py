@@ -36,7 +36,17 @@ def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-regularizers", action="store_true",
                    help="disable training-time stochastic regularizers")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(mesh then spans all hosts; batches shard per host)")
     return p
+
+
+def maybe_init_distributed(args):
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
 
 
 def build_data(args, tokenizer, feat_cfg, pad_id, num_channels: int = 1):

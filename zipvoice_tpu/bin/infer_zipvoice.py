@@ -71,9 +71,24 @@ def get_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def load_vocoder_params(path: str | None):
-    from zipvoice_tpu.audio.vocos import load_vocos_params
+def load_vocoder_params(path: str | None, kind: str = "vocos"):
     from zipvoice_tpu.io.checkpoint import load_torch_state_dict
+
+    if kind == "bigvgan":
+        from zipvoice_tpu.audio.bigvgan import load_bigvgan_params
+
+        if path is None:
+            from huggingface_hub import hf_hub_download
+
+            path = hf_hub_download(
+                "nvidia/bigvgan_v2_24khz_100band_256x", "bigvgan_generator.pt"
+            )
+        sd = load_torch_state_dict(path)
+        sd = {k[len("generator."):] if k.startswith("generator.") else k: v
+              for k, v in sd.items()}
+        return load_bigvgan_params(sd)
+
+    from zipvoice_tpu.audio.vocos import load_vocos_params
 
     if path is None:
         from huggingface_hub import hf_hub_download
@@ -100,15 +115,19 @@ def build_pipeline(args):
     feat_cfg = dataclasses.replace(
         assets.feat_cfg, feat_scale=args.feat_scale, feat_bias=args.feat_bias
     )
-    vocos_params = load_vocoder_params(args.vocoder_path)
+    # feature type selects the matching vocoder family
+    # (ref infer_zipvoice.py:249-269: vocos vs bigvgan by model config)
+    vocoder_kind = "bigvgan" if feat_cfg.type == "bigvgan" else "vocos"
+    vocoder_params = load_vocoder_params(args.vocoder_path, vocoder_kind)
     pipeline = ZipVoicePipeline(
         params=assets.params,
         model_cfg=assets.model_cfg,
         feat_cfg=feat_cfg,
-        vocos_params=vocos_params,
+        vocos_params=vocoder_params,
         tokenizer=assets.tokenizer,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         distill=assets.defaults["distill"],
+        vocoder=vocoder_kind,
     )
     defaults = assets.defaults
     num_step = args.num_step if args.num_step is not None else defaults["num_step"]

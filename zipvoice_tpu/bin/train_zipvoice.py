@@ -58,12 +58,26 @@ def get_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-steps-per-epoch", type=int, default=0,
                    help="cap steps per epoch (0 = full manifest)")
+    p.add_argument("--inf-check", action="store_true",
+                   help="detect non-finite losses/params during training")
+    p.add_argument("--print-diagnostics", action="store_true",
+                   help="run activation/param diagnostics on one batch, exit")
+    p.add_argument("--scan-oom", action="store_true",
+                   help="run the largest-duration batch first to surface OOMs")
+    p.add_argument("--no-regularizers", action="store_true",
+                   help="disable training-time stochastic regularizers")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
     return p
 
 
 def main():
     args = get_parser().parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from zipvoice_tpu.bin._train_common import maybe_init_distributed
+
+    maybe_init_distributed(args)
 
     import jax
 
@@ -125,6 +139,7 @@ def main():
             condition_drop_ratio=args.condition_drop_ratio,
             compute_dtype=args.dtype,
             schedule="eden",
+            use_regularizers=not args.no_regularizers,
         ),
         options=TrainerOptions(
             exp_dir=args.exp_dir,
@@ -137,9 +152,45 @@ def main():
             log_interval=args.log_interval,
             seed=args.seed,
             lr_hours=args.lr_hours,
+            max_duration=args.max_duration,
+            inf_check=args.inf_check,
         ),
         mesh=mesh,
     )
+
+    if args.print_diagnostics:
+        # stat taps on one batch, then exit (ref train_zipvoice.py:219-224)
+        import numpy as np
+
+        from zipvoice_tpu.utils.diagnostics import (
+            activation_diagnostics,
+            format_diagnostics,
+            param_diagnostics,
+        )
+
+        batch = collate(next(iter(sampler)))
+        print(format_diagnostics(param_diagnostics(params)))
+        b, t, f = batch["features"].shape
+        fm_in = np.concatenate([batch["features"]] * 3, axis=-1)
+        stats = activation_diagnostics(
+            params["fm_decoder"], model_cfg.fm_decoder_config(), fm_in,
+            t=np.full((b,), 0.5, np.float32),
+        )
+        print(format_diagnostics(stats))
+        return
+
+    if args.scan_oom:
+        # fwd+bwd the most pessimistic (longest total duration) batch first
+        # (ref train_zipvoice.py:808-858 find_pessimistic_batches)
+        batches = sorted(
+            sampler._epoch_batches(),
+            key=lambda b: sum(u.duration for u in b), reverse=True,
+        )[:1]
+        if batches:
+            logging.info("scan-oom: running the largest batch")
+            trainer.step_and_log(collate(batches[0]))
+            trainer.batch_idx_train = 0
+            logging.info("scan-oom: ok")
 
     exp = Path(args.exp_dir)
     if args.start_epoch > 1:

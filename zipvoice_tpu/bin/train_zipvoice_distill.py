@@ -60,6 +60,10 @@ def main():
     args = get_parser().parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
+    from zipvoice_tpu.bin._train_common import maybe_init_distributed
+
+    maybe_init_distributed(args)
+
     import jax
 
     from zipvoice_tpu.config import load_model_json

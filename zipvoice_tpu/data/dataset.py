@@ -293,3 +293,70 @@ class OnDeviceFbankCollator:
             "features": feats,
             "features_lens": features_lens,
         }
+
+
+class PrecomputedFeatureCollator:
+    """Collate from offline fbank shards written by bin/compute_fbank.py
+    (npz shards + index TSV), the LilcomChunkyWriter-reader equivalent
+    (ref dataset/dataset.py:62-97 precomputed-input path)."""
+
+    def __init__(self, tokenizer, index_tsv: str, feats_dir: str,
+                 feat_scale: float = 0.1, feat_bias: float = 0.0,
+                 pad_id: int = 0, frame_bucket: int = 64,
+                 token_bucket: int = 16, batch_bucket: int = 8):
+        self.tokenizer = tokenizer
+        self.feat_scale = feat_scale
+        self.feat_bias = feat_bias
+        self.pad_id = pad_id
+        self.frame_bucket = frame_bucket
+        self.token_bucket = token_bucket
+        self.batch_bucket = batch_bucket
+        self.feats_dir = Path(feats_dir)
+        self.index: Dict[str, str] = {}
+        with open(index_tsv, encoding="utf-8") as f:
+            for line in f:
+                items = line.rstrip("\n").split("\t")
+                if len(items) >= 4:
+                    self.index[items[0]] = items[3]
+        self._shard_cache: Dict[str, object] = {}
+
+    def _features(self, uid: str) -> np.ndarray:
+        shard_name = self.index[uid]
+        if shard_name not in self._shard_cache:
+            if len(self._shard_cache) > 4:
+                self._shard_cache.clear()
+            self._shard_cache[shard_name] = np.load(self.feats_dir / shard_name)
+        return self._shard_cache[shard_name][uid].astype(np.float32)
+
+    def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
+        from zipvoice_tpu.models.zipvoice import pad_labels
+
+        if any(u.tokens is None for u in utts):
+            token_lists = self.tokenizer.texts_to_token_ids(
+                [u.text for u in utts]
+            )
+            for u, toks in zip(utts, token_lists):
+                u.tokens = toks
+        feats = [self._features(u.uid) for u in utts]
+        num_frames = [f.shape[0] for f in feats]
+        t_pad = round_up(max(num_frames), self.frame_bucket)
+        b_pad = round_up(len(utts), self.batch_bucket)
+        fdim = feats[0].shape[1]
+        out = np.zeros((b_pad, t_pad, fdim), np.float32)
+        for i, f in enumerate(feats):
+            out[i, : f.shape[0]] = (f + self.feat_bias) * self.feat_scale
+
+        tokens = pad_labels([u.tokens for u in utts], self.pad_id)
+        s_pad = round_up(tokens.shape[1], self.token_bucket)
+        tokens_padded = np.full((b_pad, s_pad), self.pad_id, np.int32)
+        tokens_padded[: len(utts), : tokens.shape[1]] = tokens
+        features_lens = np.zeros((b_pad,), np.int32)
+        features_lens[: len(utts)] = num_frames
+        tokens_lens = np.zeros((b_pad,), np.int32)
+        tokens_lens[: len(utts)] = [len(u.tokens) for u in utts]
+        return {
+            "tokens": tokens_padded,
+            "tokens_lens": tokens_lens,
+            "features": out,
+            "features_lens": features_lens,
+        }

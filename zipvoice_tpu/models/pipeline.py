@@ -56,6 +56,7 @@ class ZipVoicePipeline:
         dtype=jnp.float32,
         distill: bool = False,
         variant: str = "zipvoice",  # zipvoice | dialog | dialog_stereo
+        vocoder: str = "vocos",  # vocos | bigvgan
         token_bucket: int = 32,
         frame_bucket: int = 128,
     ):
@@ -74,6 +75,7 @@ class ZipVoicePipeline:
         self.dtype = dtype
         self.distill = distill
         self.variant = variant
+        self.vocoder = vocoder
         self.token_bucket = token_bucket
         self.frame_bucket = frame_bucket
 
@@ -125,9 +127,17 @@ class ZipVoicePipeline:
     @functools.lru_cache(maxsize=8)
     def _vocode_fn(self):
         vcfg = self.vocos_cfg
+        kind = self.vocoder
 
         @jax.jit
         def run(vparams, mel):
+            if kind == "bigvgan":
+                from zipvoice_tpu.audio.bigvgan import (
+                    BigVGANConfig,
+                    bigvgan_decode,
+                )
+
+                return bigvgan_decode(vparams, mel, BigVGANConfig())
             return vocos_decode(vparams, mel, vcfg)
 
         return run
@@ -285,9 +295,19 @@ class ZipVoicePipeline:
         which dominates vocoding wall time on remote-attached chips."""
         vcfg = self.vocos_cfg
 
+        kind = self.vocoder
+
         @jax.jit
         def run(vparams, mel):
-            wav = vocos_decode(vparams, mel, vcfg)
+            if kind == "bigvgan":
+                from zipvoice_tpu.audio.bigvgan import (
+                    BigVGANConfig,
+                    bigvgan_decode,
+                )
+
+                wav = bigvgan_decode(vparams, mel, BigVGANConfig())
+            else:
+                wav = vocos_decode(vparams, mel, vcfg)
             wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
             return jnp.round(wav * 32767.0).astype(jnp.int16)
 

@@ -54,7 +54,8 @@ def _fused_attention_wanted(t: int, ctx) -> bool:
         return False
     if _FUSED_ATTENTION is not None:
         return _FUSED_ATTENTION
-    return jax.default_backend() == "tpu"
+    # "axon" is a remote-attached TPU platform; Mosaic kernels run on both
+    return jax.default_backend() in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------

@@ -56,19 +56,37 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
 
     # positional band: global pe row for (r, j) is j - (i0 + r) + T - 1;
     # rows [T - TILE - i0, T - TILE - i0 + T + TILE) cover the whole tile.
-    band = pe_ref[0, pl.ds(t - ti - i0, t + ti), :]  # (T+TILE, pd)
+    band_start = pl.multiple_of(t - ti - i0, TILE)
+    band = pe_ref[0, pl.ds(band_start, t + ti), :]  # (T+TILE, pd)
     pos_full = jax.lax.dot_general(
         pq_ref[0], band,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TILE, T+TILE)
 
-    # shear: pos[r, j] = pos_full[r, (TILE-1) - r + j], via flatten/reshape
-    # (all slice bounds static -> lax.slice, no dynamic_slice in Mosaic)
-    flat = pos_full.reshape(ti * (t + ti))
-    sheared = flat[ti - 1 : ti - 1 + ti * (t + ti - 1)].reshape(
-        ti, t + ti - 1
-    )[:, :t]
+    # shear: pos[r, j] = pos_full[r, j - r + (TILE-1)].  Expressed as a
+    # global left-roll by TILE-1 followed by a per-row right-roll by r,
+    # where the per-row roll is binary-decomposed into log2(TILE) static
+    # roll+select stages (Mosaic has no arbitrary reshape or per-row
+    # dynamic slice; static concat-rolls and selects lower cleanly).  The
+    # index j - r + TILE - 1 always lands in [0, T+TILE-1), so the
+    # wraparound of the rolls is never observed in columns < T.
+    w = t + ti
+
+    def roll_right(v, s):
+        return jnp.concatenate([v[:, w - s :], v[:, : w - s]], axis=1)
+
+    x = jnp.concatenate(
+        [pos_full[:, ti - 1 :], pos_full[:, : ti - 1]], axis=1
+    )  # left-roll by TILE-1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+    nbits = max(1, (ti - 1).bit_length())
+    for bbit in range(nbits):
+        s = 1 << bbit
+        rolled = roll_right(x, s)
+        take = (rows >> bbit) & 1
+        x = jnp.where(take == 1, rolled, x)
+    sheared = x[:, :t]
 
     scores = qk + sheared
     scores = jnp.where(mask_ref[0, 0, :][None, :] != 0, -1000.0, scores)

@@ -213,7 +213,11 @@ class ScaledAdam:
             update = jnp.clip(p32 + delta, -c.scalar_max, c.scalar_max) - p32
         return update, eas, delta, prms, sgrads, seas
 
-    def update(self, grads, state: ScaledAdamState, params, lr):
+    def update(self, grads, state: ScaledAdamState, params, lr, lr_scales=None):
+        """lr_scales: optional pytree (or prefix-matched flat dict from
+        parameter_lr_scales) of per-leaf LR multipliers — the equivalent of
+        the reference's get_parameter_groups_with_lrs per-module lr_scale
+        (ref utils/common.py:579-664).  A scale of 0 freezes a tensor."""
         lr = jnp.asarray(lr, jnp.float32)
         clip, norms, thresh = self._clipping(grads, state, params)
         # non-finite median collapse -> clip==0 zeroes all grads
@@ -227,10 +231,16 @@ class ScaledAdam:
                 state.scale_grads, state.scale_exp_avg_sq,
             )
         ]
+        if lr_scales is None:
+            leaves_s = [1.0] * len(leaves_g)
+        else:
+            leaves_s = treedef.flatten_up_to(lr_scales)
         updates, n_eas, n_delta, n_prms, n_sg, n_seas = [], [], [], [], [], []
-        for g, p, eas, delta, prms, sg, seas in zip(leaves_g, *leaves):
+        for g, p, eas, delta, prms, sg, seas, s in zip(
+            leaves_g, *leaves, leaves_s
+        ):
             u, eas, delta, prms, sg, seas = self._leaf_update(
-                g, p, eas, delta, prms, sg, seas, state.step, lr
+                g, p, eas, delta, prms, sg, seas, state.step, lr * s
             )
             updates.append(u.astype(p.dtype))
             n_eas.append(eas)
@@ -261,3 +271,27 @@ def scaled_adam(
 
 def apply_updates(params, updates):
     return jax.tree.map(lambda p, u: (p + u.astype(p.dtype)), params, updates)
+
+
+def parameter_lr_scales(params, rules):
+    """Build an lr_scales pytree from {name-prefix: scale} rules matched on
+    dotted parameter paths (longest prefix wins); default scale 1.0."""
+    import numpy as _np
+
+    from zipvoice_tpu.io.checkpoint import (
+        params_to_state_dict,
+        state_dict_to_params,
+    )
+
+    flat = params_to_state_dict(jax.tree.map(_np.asarray, params))
+    out = {}
+    for name in flat:
+        scale = 1.0
+        best = -1
+        for prefix, s in rules.items():
+            if name.startswith(prefix) and len(prefix) > best:
+                scale, best = float(s), len(prefix)
+        out[name] = _np.float32(scale)
+    # reuse the nesting logic; scalars pass through the layout transforms
+    tree = state_dict_to_params({k: _np.asarray(v) for k, v in out.items()})
+    return tree

@@ -64,6 +64,8 @@ class TrainerOptions:
     # finetuning offsets the schedule count so regularizers start relaxed
     # (ref train_zipvoice.py:564-565)
     batch_count_offset: float = 0.0
+    # numerical watchdogs (ref --inf-check, train_zipvoice.py:233-238)
+    inf_check: bool = False
 
 
 class Trainer:
@@ -243,7 +245,26 @@ class Trainer:
         return self.tracker.tot
 
     def step_and_log(self, batch, valid_batches=None, sampler_state_fn=None):
-        metrics = self.train_step(batch)
+        try:
+            metrics = self.train_step(batch)
+        except Exception:
+            # save the failing state for post-mortem before re-raising
+            # (ref train_zipvoice.py:548-559, 636-639 save_bad_model)
+            bad = Path(self.opts.exp_dir) / "bad-model.pt"
+            try:
+                self.save(str(bad))
+                logging.warning("step failed; saved %s", bad)
+            except Exception:  # noqa: BLE001
+                logging.warning("step failed; could not save bad-model")
+            raise
+        if self.opts.inf_check and not np.isfinite(float(metrics["loss"])):
+            from zipvoice_tpu.utils.hooks import find_nonfinite
+
+            bad_params = find_nonfinite(jax.tree.map(np.asarray, self.params))
+            logging.warning(
+                "inf-check: non-finite loss at step %d; bad params: %s",
+                self.batch_idx_train, bad_params[:10],
+            )
         if self.batch_idx_train % self.opts.log_interval == 0:
             running = self.tracker.update(
                 {"loss": float(metrics["loss"]), "lr": float(metrics["lr"])}
