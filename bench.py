@@ -33,7 +33,7 @@ def _train_throughput(cfg) -> float:
 
     from zipvoice_tpu.models.zipvoice import init_zipvoice
     from zipvoice_tpu.train.scaled_adam import scaled_adam
-    from zipvoice_tpu.train.schedules import zipformer_schedules
+    from zipvoice_tpu.train.schedules import zipvoice_schedules
     from zipvoice_tpu.train.step import TrainConfig, make_train_step
 
     rng = np.random.default_rng(0)
@@ -48,7 +48,7 @@ def _train_throughput(cfg) -> float:
     opt = scaled_adam(clipping_scale=2.0)
     opt_state = opt.init(params)
     step = make_train_step(cfg, opt, TrainConfig(compute_dtype="bfloat16"))
-    sched = zipformer_schedules(10000.0, cfg.fm_decoder_config())
+    sched = zipvoice_schedules(10000.0, cfg)
     key = jax.random.PRNGKey(1)
 
     params, opt_state, m = step(params, opt_state, batch, key,

@@ -84,9 +84,12 @@ def forward_text_embed(
     dtype=jnp.float32,
     spk_a_id: int = SPK_A_ID_DEFAULT,
     spk_b_id: int = SPK_B_ID_DEFAULT,
+    ctx=None,
 ) -> jax.Array:
     """Text encoder output + per-speaker embedding add (ref :127-159)."""
-    embed = zv.forward_text_embed(params, cfg, tokens_padded, tokens_lens, dtype)
+    embed = zv.forward_text_embed(
+        params, cfg, tokens_padded, tokens_lens, dtype, ctx=ctx
+    )
     spk = speaker_parity(tokens_padded, cfg.pad_id, spk_a_id, spk_b_id)
     spk_w = params["spk_embed"]["weight"].astype(embed.dtype)
     embed = embed + jnp.where((spk == 0)[:, :, None], spk_w[0], 0.0)
@@ -125,15 +128,25 @@ def compute_fm_loss_dialog(
     condition_drop_ratio: float = 0.0,
     se_weight: float = 0.0,
     stereo: bool = False,
+    schedules=None,
 ) -> jax.Array:
     """Dialog CFM loss with suffix condition mask (ref :161-215); with
     stereo=True and se_weight>0 adds the speaker-exclusive energy loss on the
     2-channel one-step estimate (ref :258-350)."""
     num_frames = features.shape[1]
-    k_mask, k_drop = jax.random.split(key)
+    k_mask, k_drop, k_text, k_fm = jax.random.split(key, 4)
+
+    if schedules is None:
+        text_ctx = fm_ctx = None
+    else:
+        from zipvoice_tpu.nn.zipformer import TrainCtx
+
+        text_ctx = TrainCtx(k_text, schedules["text_encoder"])
+        fm_ctx = TrainCtx(k_fm, schedules["fm_decoder"])
 
     embed = forward_text_embed(
-        params, cfg, tokens_padded, tokens_lens, dtype=features.dtype
+        params, cfg, tokens_padded, tokens_lens, dtype=features.dtype,
+        ctx=text_ctx,
     )
     text_condition, padding_mask = zv.forward_text_condition(
         embed, tokens_lens, features_lens, num_frames
@@ -154,7 +167,8 @@ def compute_fm_loss_dialog(
     ut = features - noise
 
     vt = zv.forward_fm_decoder(
-        params, cfg, t, xt, text_condition, speech_condition, padding_mask
+        params, cfg, t, xt, text_condition, speech_condition, padding_mask,
+        ctx=fm_ctx,
     )
 
     loss_mask = speech_condition_mask & (~padding_mask)

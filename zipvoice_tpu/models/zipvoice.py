@@ -227,8 +227,10 @@ def compute_fm_loss(
     """Conditional flow-matching MSE on velocity (ref zipvoice.py:332-386).
 
     features/noise: (B, T, F); t: (B, 1, 1) in (0, 1).
-    schedules: optional pytree from train.schedules.zipformer_schedules —
-    when given, the backbone runs with training-time stochastics live.
+    schedules: optional pytree from train.schedules.zipvoice_schedules —
+    {"fm_decoder": ..., "text_encoder": ...} (each backbone has its own
+    layer structure, so layerdrop tables differ); when given, the backbones
+    run with training-time stochastics live.
     Returns scalar loss (mean over unmasked, non-padded positions).
     """
     num_frames = features.shape[1]
@@ -239,8 +241,8 @@ def compute_fm_loss(
     else:
         from zipvoice_tpu.nn.zipformer import TrainCtx
 
-        text_ctx = TrainCtx(k_text, schedules)
-        fm_ctx = TrainCtx(k_fm, schedules)
+        text_ctx = TrainCtx(k_text, schedules["text_encoder"])
+        fm_ctx = TrainCtx(k_fm, schedules["fm_decoder"])
 
     text_condition, padding_mask = forward_text_train(
         params, cfg, tokens_padded, tokens_lens, features_lens, num_frames,

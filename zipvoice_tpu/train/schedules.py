@@ -119,6 +119,20 @@ def zipformer_schedules(
     }
 
 
+def zipvoice_schedules(batch_count: float, model_cfg,
+                       warmup_batches: float = 4000.0) -> Dict:
+    """Per-backbone schedule pytrees for a ZipVoice model (fm_decoder and
+    text_encoder have different stack/layer structures)."""
+    return {
+        "fm_decoder": zipformer_schedules(
+            batch_count, model_cfg.fm_decoder_config(), warmup_batches
+        ),
+        "text_encoder": zipformer_schedules(
+            batch_count, model_cfg.text_encoder_config(), warmup_batches
+        ),
+    }
+
+
 def adjusted_batch_count(
     batch_idx_train: int, max_duration: float, world_size: int,
     ref_duration: float = 600.0,

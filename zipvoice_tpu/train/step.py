@@ -82,6 +82,7 @@ def make_train_step(
                 features, batch["features_lens"], noise, t, k_mask,
                 condition_drop_ratio=train_cfg.condition_drop_ratio,
                 se_weight=train_cfg.se_weight, stereo=train_cfg.stereo,
+                schedules=schedules,
             )
         return compute_fm_loss(
             cparams,

@@ -99,11 +99,9 @@ class Trainer:
         self.active_step_fn = None
         self.tracker = MetricsTracker()
         if train_cfg.use_regularizers:
-            from zipvoice_tpu.train.schedules import zipformer_schedules
+            from zipvoice_tpu.train.schedules import zipvoice_schedules
 
-            self._sched_fn = lambda count: zipformer_schedules(
-                count, model_cfg.fm_decoder_config()
-            )
+            self._sched_fn = lambda count: zipvoice_schedules(count, model_cfg)
         else:
             self._sched_fn = None
 
