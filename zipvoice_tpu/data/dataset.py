@@ -185,6 +185,14 @@ class OnDeviceFbankCollator:
 
         three_channel = self.three_channel
 
+        # fused Pallas mel kernel when eligible (vocos semantics, TPU,
+        # tile-aligned frame count); XLA composition otherwise
+        use_fused = (
+            not three_channel
+            and fcfg.type == "vocos"
+            and jax.default_backend() in ("tpu", "axon")
+        )
+
         @jax.jit
         def run(wav):  # (B, L) or (B, 2, L) when three_channel
             fn = vocos_log_mel if fcfg.type == "vocos" else bigvgan_log_mel
@@ -195,6 +203,21 @@ class OnDeviceFbankCollator:
                 mel = jnp.concatenate(
                     [mel2[:, 0], mel2[:, 1], mixed], axis=-1
                 )  # (B, T, 3M)
+            elif use_fused:
+                from zipvoice_tpu.ops.melspec import TILE, fused_log_mel
+
+                n_fft, hop = fcfg.n_fft, fcfg.hop_length
+                frames = wav.shape[-1] // hop
+                f_pad = ((frames + TILE - 1) // TILE) * TILE
+                need = (f_pad - 1) * hop + n_fft
+                wc = jnp.pad(
+                    wav, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect"
+                )
+                if wc.shape[-1] < need:
+                    wc = jnp.pad(wc, ((0, 0), (0, need - wc.shape[-1])))
+                mel = fused_log_mel(
+                    wc[:, :need], fcfg.sampling_rate, n_fft, hop, fcfg.n_mels
+                )[:, :frames]
             else:
                 mel = fn(wav, fcfg)
             return (mel + fcfg.feat_bias) * fcfg.feat_scale
