@@ -154,3 +154,69 @@ def test_bucket_padding_invariance(model_dir):
     core = slice(0, len_a - 8)
     err = np.abs(mel_a[core] - mel_b[core]).max()
     assert err < 1e-3, f"bucket variance {err}"
+
+
+def test_infer_cli_end_to_end(model_dir, tmp_path, monkeypatch):
+    """Drive bin/infer_zipvoice.main() with a tiny model dir + tiny vocos
+    checkpoint: exercises model-dir loading, vocoder loading, synthesis,
+    batch TSV mode and wav writing."""
+    import sys
+
+    import jax
+    import torch
+
+    from zipvoice_tpu.bin import infer_zipvoice
+
+    # tiny vocos checkpoint in the published torch layout
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    vparams = init_vocos(jax.random.PRNGKey(3), vcfg)
+
+    def tree_to_torch_sd(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(tree_to_torch_sd(v, name))
+            else:
+                arr = np.asarray(v)
+                if name.endswith("embed.weight") and arr.ndim == 3:
+                    arr = np.transpose(arr, (2, 1, 0))
+                elif name.endswith("dwconv.weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)[:, None, :]
+                elif name.endswith(".weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)
+                out[name] = torch.from_numpy(arr.copy())
+        return out
+
+    voc_path = tmp_path / "vocos.bin"
+    torch.save(tree_to_torch_sd(vparams), voc_path)
+
+    rng = np.random.default_rng(0)
+    prompt = tmp_path / "prompt.wav"
+    write_wav(prompt, (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32),
+              24000)
+
+    # patch the pipeline's vocos config to the tiny one
+    import zipvoice_tpu.models.pipeline as pl_mod
+
+    orig_init = pl_mod.ZipVoicePipeline.__init__
+
+    def patched_init(self, *a, **kw):
+        kw["vocos_cfg"] = vcfg
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(pl_mod.ZipVoicePipeline, "__init__", patched_init)
+
+    out_wav = tmp_path / "out.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "infer_zipvoice", "--model-dir", str(model_dir),
+        "--vocoder-path", str(voc_path), "--tokenizer", "simple",
+        "--prompt-wav", str(prompt), "--prompt-text", "hi there",
+        "--text", "hello world", "--res-wav-path", str(out_wav),
+        "--num-step", "2",
+    ])
+    infer_zipvoice.main()
+    wav, sr = read_wav(out_wav)
+    assert sr == 24000 and wav.shape[-1] > 0
+    assert np.isfinite(wav).all()
