@@ -67,6 +67,17 @@ def _train_throughput(cfg) -> float:
 
 def main():
     import jax
+
+    # persistent compilation cache: the heavy programs (16-step sampler,
+    # regularized train step) compile once per machine, not per run
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_compilation"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
+
     import jax.numpy as jnp
 
     from zipvoice_tpu.audio.vocos import init_vocos

@@ -355,8 +355,10 @@ def _attention_weights(
     if _fused_attention_wanted(t, ctx):
         from zipvoice_tpu.ops.attention import rel_attention_probs
 
+        # probs in compute dtype: every consumer casts to x.dtype anyway
+        # (softmax itself stays f32 inside the kernel)
         return rel_attention_probs(
-            q, k, pq, pe, key_padding_mask, out_dtype=jnp.float32
+            q, k, pq, pe, key_padding_mask, out_dtype=x.dtype
         )
 
     attn_scores = jnp.einsum(
