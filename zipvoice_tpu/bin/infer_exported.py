@@ -49,13 +49,12 @@ def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     import jax
-    import jax.numpy as jnp
 
     from zipvoice_tpu.audio.wav import read_wav, write_wav
     from zipvoice_tpu.bin.infer_zipvoice import load_vocoder_params
     from zipvoice_tpu.io.model_dir import load_model_dir
     from zipvoice_tpu.models.pipeline import ZipVoicePipeline
-    from zipvoice_tpu.models.zipvoice import get_time_steps, pad_labels, predict_features_lens
+    from zipvoice_tpu.models.zipvoice import get_time_steps, predict_features_lens
 
     assets = load_model_dir(model_dir=args.model_dir,
                             tokenizer_name=args.tokenizer)

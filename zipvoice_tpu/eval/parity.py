@@ -46,7 +46,6 @@ def run_parity(
     cfg = assets.model_cfg
 
     # reference model with the same weights
-    import dataclasses
     import json
     from pathlib import Path
 

@@ -15,7 +15,7 @@ with speaker-turn tokens [S1]/[S2].  Differences from the base model:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +23,7 @@ import jax.numpy as jnp
 from zipvoice_tpu.config import ZipVoiceConfig
 from zipvoice_tpu.models import zipvoice as zv
 from zipvoice_tpu.nn.functional import make_pad_mask
-from zipvoice_tpu.nn.zipformer import (
-    init_tts_zipformer_two_stream,
-    tts_zipformer_forward,
-)
+from zipvoice_tpu.nn.zipformer import init_tts_zipformer_two_stream
 
 Params = Dict[str, object]
 

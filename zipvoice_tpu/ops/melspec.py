@@ -16,7 +16,6 @@ composition remains the reference implementation and the fallback.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

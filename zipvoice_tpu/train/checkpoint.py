@@ -19,7 +19,6 @@ from __future__ import annotations
 import glob
 import os
 import re
-from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax

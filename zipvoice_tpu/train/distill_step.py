@@ -8,8 +8,6 @@ like the reference (ref :420-429) and passed as traced scalars.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ Apply with ``params = jax.tree.map(lambda p, u: p + u, params, updates)``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

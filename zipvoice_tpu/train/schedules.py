@@ -9,7 +9,7 @@ changing them never recompiles.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 from zipvoice_tpu.config import ZipformerConfig
 

@@ -15,8 +15,6 @@ Equivalent of the reference's inner loop (ref zipvoice/bin/train_zipvoice.py:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,8 @@ Used by the trainers' --print-diagnostics flag.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 

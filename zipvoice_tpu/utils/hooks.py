@@ -10,7 +10,7 @@ Equivalent of the reference's register_inf_check_hooks
 from __future__ import annotations
 
 import logging
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
