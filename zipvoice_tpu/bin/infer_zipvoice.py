@@ -103,7 +103,12 @@ def build_pipeline(args):
     import jax.numpy as jnp
 
     from zipvoice_tpu.io.model_dir import load_model_dir
-    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+    from zipvoice_tpu.models.pipeline import (
+        ZipVoicePipeline,
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     assets = load_model_dir(
         model_dir=args.model_dir,

@@ -107,7 +107,12 @@ def main():
     from zipvoice_tpu.audio.wav import write_wav
     from zipvoice_tpu.bin.infer_zipvoice import load_vocoder_params
     from zipvoice_tpu.io.model_dir import load_model_dir
-    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+    from zipvoice_tpu.models.pipeline import (
+        ZipVoicePipeline,
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     stereo = args.model_name == "zipvoice_dialog_stereo"
     assets = load_model_dir(

@@ -25,6 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from zipvoice_tpu.audio.mel import extract_features
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_compilation"):
+    """Persistent XLA compilation cache: the 16-step sampler and train-step
+    programs compile once per machine instead of per process."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # noqa: BLE001 — flag names vary across jax versions
+        pass
 from zipvoice_tpu.audio.vocos import VocosConfig, vocos_decode
 from zipvoice_tpu.audio.wav import resample
 from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
