@@ -220,3 +220,55 @@ def test_infer_cli_end_to_end(model_dir, tmp_path, monkeypatch):
     wav, sr = read_wav(out_wav)
     assert sr == 24000 and wav.shape[-1] > 0
     assert np.isfinite(wav).all()
+
+
+def test_synthesize_batch(model_dir):
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(2)
+    wavs = [(rng.standard_normal((1, 20000 + 4000 * i)) * 0.05).astype(np.float32)
+            for i in range(3)]
+    results = pipe.synthesize_batch(
+        texts=["hello world", "abc", "longer sentence here ok"],
+        prompt_texts=["hi", "yo there", "hm"],
+        prompt_wavs=wavs, prompt_srs=[24000] * 3,
+        num_step=2, guidance_scale=1.0,
+    )
+    assert len(results) == 3
+    lens = {len(r.wav) for r in results}
+    assert len(lens) == 3  # per-request lengths differ
+    for r in results:
+        assert np.isfinite(r.wav).all() and len(r.wav) > 0
+
+
+def test_dialog_pipeline_variant(tmp_path):
+    """Dialog-variant pipeline: speaker-tagged tokens + spk_embed params."""
+    import jax
+
+    from zipvoice_tpu.models.dialog import init_zipvoice_dialog
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=40, pad_id=0)
+    params = init_zipvoice_dialog(jax.random.PRNGKey(5), cfg)
+    from zipvoice_tpu.config import FeatureConfig
+
+    pipe = ZipVoicePipeline(
+        params=params, model_cfg=cfg, feat_cfg=FeatureConfig(n_mels=20),
+        variant="dialog", token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(3)
+    prompt_feats = (rng.standard_normal((11, 20)) * 0.1).astype(np.float32)
+    mel, gen_len = pipe.sample_features(
+        tokens=[3, 4, 5, 6], prompt_tokens=[7, 8], prompt_feats=prompt_feats,
+        num_step=2, guidance_scale=1.5,
+    )
+    assert gen_len > 0 and np.isfinite(np.asarray(mel)).all()

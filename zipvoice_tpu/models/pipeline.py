@@ -323,6 +323,98 @@ class ZipVoicePipeline:
 
         return run
 
+    def synthesize_batch(
+        self,
+        texts,
+        prompt_texts,
+        prompt_wavs,
+        prompt_srs,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        seed: int = 666,
+    ):
+        """Serve several requests in ONE compiled program call (the reference
+        infers strictly one sentence at a time, ref infer_zipvoice.py:420-470;
+        batching the CFG Euler loop is nearly free on the MXU).
+
+        Returns a list of SynthesisResult (metrics carry the batch totals).
+        """
+        assert self.tokenizer is not None
+        n = len(texts)
+        t0 = time.monotonic()
+        token_lists = self.tokenizer.texts_to_token_ids(list(texts))
+        prompt_token_lists = self.tokenizer.texts_to_token_ids(
+            list(prompt_texts)
+        )
+        feats = []
+        rmss = []
+        for wav, sr in zip(prompt_wavs, prompt_srs):
+            f, r = self.prompt_features(wav, sr, target_rms)
+            feats.append(f)
+            rmss.append(r)
+
+        cats = [list(p) + list(t) for p, t in zip(prompt_token_lists, token_lists)]
+        prompt_lens = [f.shape[0] for f in feats]
+        totals = [
+            int(zv.predict_features_lens(
+                np.array([pl]), np.array([max(len(pt), 1)]),
+                np.array([len(t)]), speed=speed,
+            )[0])
+            for pl, pt, t in zip(prompt_lens, prompt_token_lists, token_lists)
+        ]
+        s_pad = round_up(max(len(c) for c in cats) + 1, self.token_bucket)
+        t_pad = round_up(max(totals), self.frame_bucket)
+
+        tokens_padded = np.full((n, s_pad), self.model_cfg.pad_id, np.int32)
+        for i, c in enumerate(cats):
+            tokens_padded[i, : len(c)] = c
+        pf = jnp.zeros((n, t_pad, feats[0].shape[-1]), self.dtype)
+        for i, f in enumerate(feats):
+            pf = pf.at[i, : f.shape[0]].set(jnp.asarray(f, self.dtype))
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (n, t_pad, self.model_cfg.feat_dim),
+            self.dtype,
+        )
+
+        run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
+        mel, gen_lens = run(
+            self.params, jnp.asarray(tokens_padded),
+            jnp.asarray([len(c) for c in cats], jnp.int32), pf,
+            jnp.asarray(prompt_lens, jnp.int32),
+            jnp.asarray(totals, jnp.int32), noise,
+        )
+        t1 = time.monotonic()
+
+        pcm = self._vocode_i16_fn()(self.vocos_params, mel.astype(self.dtype))
+        wavs = np.asarray(pcm).astype(np.float32) / 32767.0
+        gen_lens_np = np.asarray(gen_lens)
+        t2 = time.monotonic()
+
+        results = []
+        total_secs = 0.0
+        for i in range(n):
+            out_len = max(int(gen_lens_np[i]) - 1, 1) * self.vocos_cfg.hop_length
+            w = wavs[i, :out_len]
+            if rmss[i] < target_rms:
+                w = w * (rmss[i] / target_rms)
+            total_secs += len(w) / self.feat_cfg.sampling_rate
+            results.append(SynthesisResult(
+                wav=w,
+                features=np.asarray(mel[i, : int(gen_lens_np[i])], np.float32),
+                metrics={},
+            ))
+        metrics = {
+            "t": t2 - t0, "t_no_vocoder": t1 - t0, "t_vocoder": t2 - t1,
+            "wav_seconds": total_secs,
+            "rtf": (t2 - t0) / max(total_secs, 1e-9),
+        }
+        for r in results:
+            r.metrics.update(metrics)
+        return results
+
     def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""
         assert self.vocos_params is not None, "pipeline needs vocoder weights"
