@@ -43,6 +43,15 @@ Params = Dict[str, object]
 # (use on TPU for T % 128 == 0 eval-mode calls), True/False = force.
 _FUSED_ATTENTION: Optional[bool] = None
 
+# lax.scan over a stack's layers (identical structure): one layer trace per
+# stack instead of num_layers -> much faster compiles, identical numerics.
+_SCAN_LAYERS: bool = True
+
+
+def set_scan_layers(enabled: bool):
+    global _SCAN_LAYERS
+    _SCAN_LAYERS = enabled
+
 
 def set_fused_attention(enabled: Optional[bool]):
     global _FUSED_ATTENTION
@@ -638,6 +647,46 @@ def _encoder_stack(
         stack_time_emb = None
     out = src
     num_layers = cfg.num_encoder_layers[stack]
+
+    if _SCAN_LAYERS and num_layers > 1:
+        # lax.scan over the (structurally identical) layers of this stack:
+        # one layer trace instead of num_layers — the dominant compile-time
+        # lever for both the 16-step sampler and the regularized train step.
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[p["layers"][str(i)] for i in range(num_layers)],
+        )
+        if ctx is None:
+            keys = jnp.zeros((num_layers, 2), jnp.uint32)
+            drops = jnp.zeros((num_layers,), jnp.float32)
+            s = None
+        else:
+            # per-layer RNG streams + layerdrop rates ride as scanned inputs
+            keys = jax.random.split(ctx.next_key(), num_layers)
+            drops = jnp.asarray(
+                [ctx.s["layerdrop"][stack][i] for i in range(num_layers)],
+                jnp.float32,
+            )
+            s = ctx.s
+
+        def body(carry, per_layer):
+            lp, key_l, drop_l = per_layer
+            if s is None:
+                layer_ctx = None
+            else:
+                layer_ctx = TrainCtx(key_l, dict(s, layerdrop=None))
+                layer_ctx.layerdrop_rate = lambda: drop_l  # type: ignore
+            return (
+                _encoder_layer(
+                    lp, cfg, carry, pos_emb, stack_time_emb,
+                    key_padding_mask, layer_ctx,
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, out, (stacked, keys, drops))
+        return out
+
     for i in range(num_layers):
         if ctx is not None:
             ctx._layer = i
