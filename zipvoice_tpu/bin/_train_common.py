@@ -43,6 +43,9 @@ def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
 
 
 def maybe_init_distributed(args):
+    from zipvoice_tpu.models.pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
     if getattr(args, "distributed", False):
         import jax
 

@@ -140,10 +140,10 @@ def main():
             if step_idx % args.save_every_n == 0 and jax.process_index() == 0:
                 save_checkpoint(
                     str(exp / f"checkpoint-{step_idx}.pt"), student,
+                    model_ema=teacher if args.distill_stage == "second" else None,
                     opt_state=opt_state,
                     info={"batch_idx_train": step_idx,
-                          "average_period": args.average_period,
-                          "model_ema_stage": args.distill_stage},
+                          "average_period": args.average_period},
                 )
                 remove_checkpoints(str(exp), args.keep_last_k)
             if step_idx >= max_iters:

@@ -35,12 +35,14 @@ def save_checkpoint(
     filename: str,
     params: Dict,
     model_avg: Optional[Dict] = None,
+    model_ema: Optional[Dict] = None,
     opt_state: Any = None,
     sampler_state: Any = None,
     info: Optional[Dict] = None,
 ):
     """Save a checkpoint; `info` carries scalars like batch_idx_train, epoch,
-    average_period, best losses (ref checkpoint.py:39-105)."""
+    average_period, best losses (ref checkpoint.py:39-105).  model_ema holds
+    the distillation EMA teacher (ref checkpoint.py:62-66)."""
     import torch
 
     ckpt: Dict[str, Any] = {
@@ -53,6 +55,11 @@ def save_checkpoint(
         ckpt["model_avg"] = {
             k: torch.from_numpy(np.ascontiguousarray(v).copy()).to(torch.float64)
             for k, v in params_to_state_dict(_to_numpy_tree(model_avg)).items()
+        }
+    if model_ema is not None:
+        ckpt["model_ema"] = {
+            k: torch.from_numpy(np.ascontiguousarray(v).copy())
+            for k, v in params_to_state_dict(_to_numpy_tree(model_ema)).items()
         }
     if opt_state is not None:
         ckpt["opt_state"] = _to_numpy_tree(opt_state)
@@ -83,6 +90,13 @@ def load_checkpoint(filename: str, load_opt: bool = True) -> Dict[str, Any]:
         out["model_avg"] = state_dict_to_params(sda)
     else:
         out["model_avg"] = None
+    if "model_ema" in ckpt:
+        out["model_ema"] = state_dict_to_params(
+            {k: np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+             for k, v in ckpt.pop("model_ema").items()}
+        )
+    else:
+        out["model_ema"] = None
     out["opt_state"] = ckpt.pop("opt_state", None)
     out["sampler"] = ckpt.pop("sampler", None)
     out["info"] = ckpt
