@@ -50,7 +50,8 @@ def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
             check=True,
         )
         ipa = res.stdout.strip().replace("\n", " ")
-        return [ch for ch in ipa if ch != " "] + [" "] if ipa else []
+        # piper_phonemize yields one token per unicode char, spaces included
+        return list(ipa)
     raise G2PUnavailableError(
         "No espeak G2P backend: install piper_phonemize or espeak-ng"
     )
