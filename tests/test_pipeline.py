@@ -272,3 +272,28 @@ def test_dialog_pipeline_variant(tmp_path):
         num_step=2, guidance_scale=1.5,
     )
     assert gen_len > 0 and np.isfinite(np.asarray(mel)).all()
+
+
+def test_synthesize_long(model_dir):
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(4)
+    prompt_wav = (rng.standard_normal((1, 20000)) * 0.05).astype(np.float32)
+    long_text = ("the quick brown fox jumps over the lazy dog. " * 4).strip()
+    res = pipe.synthesize_long(
+        text=long_text, prompt_text="hi", prompt_wav=prompt_wav,
+        prompt_sr=24000, num_step=2, max_chunk_seconds=2.0,
+        carry_seconds=0.5,
+    )
+    assert res.metrics["chunks"] >= 2
+    assert len(res.wav) > 0 and np.isfinite(res.wav).all()

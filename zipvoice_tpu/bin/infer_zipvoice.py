@@ -65,6 +65,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--target-rms", type=float, default=0.1,
                         help="Prompt RMS normalization target (0 disables)")
     parser.add_argument("--seed", type=int, default=666, help="Random seed")
+    parser.add_argument("--long-form", action="store_true",
+                        help="chunked synthesis for texts beyond the ~30s "
+                             "training cap (rolling mel-prompt continuity)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="On-device compute dtype")
@@ -155,7 +158,8 @@ def main():
 
     def synth_one(prompt_text, prompt_wav_path, text, out_path):
         wav, wav_sr = read_wav(prompt_wav_path)
-        res = pipeline.synthesize(
+        synth = pipeline.synthesize_long if args.long_form else pipeline.synthesize
+        res = synth(
             text=text, prompt_text=prompt_text, prompt_wav=wav, prompt_sr=wav_sr,
             num_step=num_step, guidance_scale=guidance_scale, speed=args.speed,
             t_shift=args.t_shift, target_rms=args.target_rms, seed=args.seed,

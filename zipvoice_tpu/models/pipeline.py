@@ -415,6 +415,96 @@ class ZipVoicePipeline:
             r.metrics.update(metrics)
         return results
 
+    def synthesize_long(
+        self,
+        text: str,
+        prompt_text: str,
+        prompt_wav: np.ndarray,
+        prompt_sr: int,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        seed: int = 666,
+        max_chunk_seconds: float = 20.0,
+        carry_seconds: float = 4.0,
+    ) -> SynthesisResult:
+        """Long-form synthesis beyond the model's trained utterance cap
+        (the reference trains on <=30 s and synthesizes one shot): the text
+        splits into sentence chunks; each chunk is conditioned on the tail of
+        the previously *generated mel* (no vocode/fbank round trip), keeping
+        speaker identity and prosody continuous across chunks.
+        """
+        import re as _re
+
+        assert self.tokenizer is not None
+        t0 = time.monotonic()
+        sentences = [
+            s.strip() for s in _re.split(r"(?<=[.!?。！？;])\s+", text) if s.strip()
+        ] or [text]
+        # greedily pack sentences into chunks below the length cap
+        frame_rate = self.feat_cfg.frame_rate
+        chunks: list = []
+        cur = ""
+        for s in sentences:
+            cand = (cur + " " + s).strip()
+            # rough duration proxy: chars -> seconds (refined by the ratio
+            # duration predictor at sampling time)
+            if cur and len(cand) * 0.06 > max_chunk_seconds:
+                chunks.append(cur)
+                cur = s
+            else:
+                cur = cand
+        if cur:
+            chunks.append(cur)
+
+        pf0, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
+        carry_frames = int(carry_seconds * frame_rate)
+
+        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+        mels = []
+        cur_prompt_feats = pf0
+        cur_prompt_tokens = prompt_tokens
+        for ci, chunk in enumerate(chunks):
+            tokens = self.tokenizer.texts_to_token_ids([chunk])[0]
+            mel, gen_len = self.sample_features(
+                tokens, cur_prompt_tokens, cur_prompt_feats,
+                num_step=num_step, guidance_scale=guidance_scale,
+                speed=speed, t_shift=t_shift, seed=seed + ci,
+            )
+            mel_np = np.asarray(mel[:gen_len], np.float32)
+            mels.append(mel_np)
+            # next chunk's prompt = trailing generated mel (back to model
+            # feature scale) + a proportional token tail of this chunk
+            tail = mel_np[-carry_frames:]
+            cur_prompt_feats = jnp.asarray(
+                (tail + self.feat_cfg.feat_bias) * self.feat_cfg.feat_scale,
+                self.dtype,
+            )
+            frac = min(1.0, len(tail) / max(gen_len, 1))
+            n_tok = max(1, int(len(tokens) * frac))
+            cur_prompt_tokens = tokens[-n_tok:]
+
+        full_mel = np.concatenate(mels, axis=0)
+        t1 = time.monotonic()
+        t_pad = round_up(full_mel.shape[0], self.frame_bucket)
+        mel_padded = np.zeros((t_pad, full_mel.shape[1]), np.float32)
+        mel_padded[: full_mel.shape[0]] = full_mel
+        wav = self.vocode(mel_padded, full_mel.shape[0])
+        if prompt_rms < target_rms:
+            wav = wav * (prompt_rms / target_rms)
+        t2 = time.monotonic()
+        secs = wav.shape[-1] / self.feat_cfg.sampling_rate
+        return SynthesisResult(
+            wav=wav, features=full_mel,
+            metrics={
+                "t": t2 - t0, "t_no_vocoder": t1 - t0, "t_vocoder": t2 - t1,
+                "wav_seconds": secs, "rtf": (t2 - t0) / max(secs, 1e-9),
+                "chunks": len(chunks),
+            },
+        )
+
     def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""
         assert self.vocos_params is not None, "pipeline needs vocoder weights"
