@@ -669,20 +669,23 @@ def _encoder_stack(
             )
             s = ctx.s
 
-        def body(carry, per_layer):
+        @jax.checkpoint
+        def layer_fn(carry, per_layer):
+            # rematerialized: scan-of-remat-blocks keeps backward memory at
+            # one layer's activations instead of the whole stack's
             lp, key_l, drop_l = per_layer
             if s is None:
                 layer_ctx = None
             else:
                 layer_ctx = TrainCtx(key_l, dict(s, layerdrop=None))
                 layer_ctx.layerdrop_rate = lambda: drop_l  # type: ignore
-            return (
-                _encoder_layer(
-                    lp, cfg, carry, pos_emb, stack_time_emb,
-                    key_padding_mask, layer_ctx,
-                ),
-                None,
+            return _encoder_layer(
+                lp, cfg, carry, pos_emb, stack_time_emb,
+                key_padding_mask, layer_ctx,
             )
+
+        def body(carry, per_layer):
+            return layer_fn(carry, per_layer), None
 
         out, _ = jax.lax.scan(body, out, (stacked, keys, drops))
         return out
