@@ -25,11 +25,17 @@ GUIDANCE = 1.0
 
 def _train_throughput(cfg) -> float:
     """One DP training step (regularizers live) on B=8 x 1024-frame batch ->
-    seconds of audio per wall second per chip."""
+    seconds of audio per wall second per chip.  Uses scan-of-remat layers:
+    bounded backward memory and minutes-not-tens-of-minutes compiles, at
+    ~25% step-time cost vs fully unrolled."""
     import time
 
     import jax
     import numpy as np
+
+    from zipvoice_tpu.nn.zipformer import set_scan_layers
+
+    set_scan_layers(True)
 
     from zipvoice_tpu.models.zipvoice import init_zipvoice
     from zipvoice_tpu.train.scaled_adam import scaled_adam
@@ -84,6 +90,12 @@ def main():
     from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
     from zipvoice_tpu.models.pipeline import ZipVoicePipeline
     from zipvoice_tpu.models.zipvoice import init_zipvoice
+
+    from zipvoice_tpu.nn.zipformer import set_scan_layers
+
+    # inference: fully unrolled layers (peak throughput; the persistent
+    # cache amortizes the longer compile)
+    set_scan_layers(False)
 
     dtype = jnp.bfloat16
     cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
