@@ -41,7 +41,7 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
     pq_ref:  (1, TILE, pd)   positional queries
     pe_ref:  (1, 2T, pd)     projected positional encodings of this h
                              (row n encodes offset n - (T-1); row 2T-1 pad)
-    mask_ref:(1, 1, T) int8  key padding (1 = masked)
+    mask_ref:(1, 1, T) f32   additive key-padding bias (-1000 at masked)
     out_ref: (1, TILE, T)    softmaxed attention probabilities
     """
     t = k_ref.shape[1]
@@ -88,12 +88,51 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
         x = jnp.where(take == 1, rolled, x)
     sheared = x[:, :t]
 
-    scores = qk + sheared
-    scores = jnp.where(mask_ref[0, 0, :][None, :] != 0, -1000.0, scores)
+    scores = qk + sheared + mask_ref[0, 0, :][None, :]
     scores = scores - jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores)
     probs = e / jnp.sum(e, axis=1, keepdims=True)
     out_ref[0] = probs.astype(out_ref.dtype)
+
+
+def _xla_rel_probs(q, k, pq, pe, bias, out_dtype):
+    """Pure-XLA twin of the kernel (same math incl. the additive mask bias);
+    its VJP is the kernel's backward."""
+    t = q.shape[1]
+    attn = jnp.einsum("bthd,bshd->bhts", q, k,
+                      preferred_element_type=jnp.float32)
+    pos = jnp.einsum("bthd,nhd->bhtn", pq, pe,
+                     preferred_element_type=jnp.float32)
+    # rel shift (same as nn.zipformer._rel_shift)
+    b, h = pos.shape[0], pos.shape[1]
+    flat = pos.reshape(b, h, t * (2 * t - 1))
+    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=2)
+    shifted = flat.reshape(b, h, t, 2 * t - 2)[..., :t]
+    scores = attn + shifted + bias[:, None, :, :]
+    return jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _rel_probs_ad(q, k, pq, pe, bias, out_dtype, interpret):
+    return _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret)
+
+
+def _rel_probs_fwd(q, k, pq, pe, bias, out_dtype, interpret):
+    return (
+        _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret),
+        (q, k, pq, pe, bias),
+    )
+
+
+def _rel_probs_bwd(out_dtype, interpret, res, g):
+    q, k, pq, pe, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_rel_probs(*a, out_dtype=out_dtype), q, k, pq, pe, bias
+    )
+    return vjp(g)
+
+
+_rel_probs_ad.defvjp(_rel_probs_fwd, _rel_probs_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -106,9 +145,24 @@ def rel_attention_probs(
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention probabilities (B, H, T, T).  T must be a multiple of
-    TILE (the pipeline's frame buckets guarantee it); other shapes use the
-    XLA fallback in nn/zipformer.py."""
+    """Fused attention probabilities (B, H, T, T); differentiable (forward =
+    Pallas kernel, backward = VJP of the identical XLA computation).  T must
+    be a multiple of TILE; other shapes use the XLA fallback in
+    nn/zipformer.py.  The key-padding mask enters as an additive -1000 bias
+    (identical softmax output for any row with >=1 unmasked key; fully-padded
+    rows attend uniformly over real scores instead of uniformly over
+    constants — those outputs are never consumed)."""
+    b, t = q.shape[0], q.shape[1]
+    if key_padding_mask is None:
+        bias = jnp.zeros((b, 1, t), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
+            :, None, :
+        ]
+    return _rel_probs_ad(q, k, pq, pe, bias, out_dtype, interpret)
+
+
+def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
     b, t, h, qd = q.shape
     pd = pq.shape[-1]
     assert t % TILE == 0, t
@@ -117,10 +171,7 @@ def rel_attention_probs(
     kh = k.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
     pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, t, pd)
     peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)  # (H,2T,pd)
-    if key_padding_mask is None:
-        maskb = jnp.zeros((b, 1, t), jnp.int8)
-    else:
-        maskb = key_padding_mask.astype(jnp.int8)[:, None, :]
+    maskb = bias
 
     out = pl.pallas_call(
         _kernel,
