@@ -124,12 +124,40 @@ def _rel_probs_fwd(q, k, pq, pe, bias, out_dtype, interpret):
     )
 
 
+def _unshear(ds: jax.Array) -> jax.Array:
+    """Inverse of the rel shift: (B, H, T, T) -> (B, H, T, 2T-1) with
+    out[..., i, (T-1) + j - i] = ds[..., i, j], zeros elsewhere.  Pure
+    pad/flatten/reshape (exact adjoint of _rel_shift's slicing)."""
+    b, h, t, _ = ds.shape
+    rows = jnp.pad(ds, ((0, 0), (0, 0), (0, 0), (0, t - 2)))  # (B,H,T,2T-2)
+    flat = rows.reshape(b, h, t * (2 * t - 2))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (t - 1, 1)))
+    return flat.reshape(b, h, t, 2 * t - 1)
+
+
 def _rel_probs_bwd(out_dtype, interpret, res, g):
+    """Analytic backward: recompute probs with the fused kernel, softmax VJP,
+    then the three matmul adjoints — no (2T-1) f32 rematerialization of the
+    forward's positional tensor (the dominant HBM cost of jax.vjp through
+    the XLA twin)."""
     q, k, pq, pe, bias = res
-    _, vjp = jax.vjp(
-        lambda *a: _xla_rel_probs(*a, out_dtype=out_dtype), q, k, pq, pe, bias
-    )
-    return vjp(g)
+    probs = _pallas_rel_probs(q, k, pq, pe, bias, jnp.float32, interpret)
+    g32 = g.astype(jnp.float32)
+    ds = probs * (g32 - jnp.sum(g32 * probs, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+
+    dq = jnp.einsum("bhts,bshd->bthd", dsb, k,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+    dk = jnp.einsum("bhts,bthd->bshd", dsb, q,
+                    preferred_element_type=jnp.float32).astype(k.dtype)
+
+    dpos = _unshear(dsb)  # (B, H, T, 2T-1)
+    dpq = jnp.einsum("bhtn,nhd->bthd", dpos, pe,
+                     preferred_element_type=jnp.float32).astype(pq.dtype)
+    dpe = jnp.einsum("bhtn,bthd->nhd", dpos, pq,
+                     preferred_element_type=jnp.float32).astype(pe.dtype)
+    dbias = jnp.sum(ds, axis=(1, 2))[:, None, :].astype(bias.dtype)
+    return dq, dk, dpq, dpe, dbias
 
 
 _rel_probs_ad.defvjp(_rel_probs_fwd, _rel_probs_bwd)
