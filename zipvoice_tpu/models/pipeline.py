@@ -166,6 +166,28 @@ class ZipVoicePipeline:
 
     # ------------------------------------------------------------------ api
 
+    def warmup(self, num_step: int = 16, guidance_scale: float = 1.0,
+               t_shift: float = 0.5, seconds=(10.0,), token_counts=(64,)):
+        """Precompile the sample/vocode programs for the given duration and
+        token buckets (serving cold-start control)."""
+        rng = np.random.default_rng(0)
+        for secs in seconds:
+            frames = int(secs * self.feat_cfg.frame_rate)
+            for n_tok in token_counts:
+                tokens = list(rng.integers(1, self.model_cfg.vocab_size, n_tok))
+                prompt_tokens = list(
+                    rng.integers(1, self.model_cfg.vocab_size, max(n_tok // 4, 1))
+                )
+                pf = (rng.standard_normal(
+                    (max(frames // 4, 8), self.model_cfg.feat_dim)) * 0.01
+                ).astype(np.float32)
+                mel, gen_len = self.sample_features(
+                    tokens, prompt_tokens, pf, num_step=num_step,
+                    guidance_scale=guidance_scale, t_shift=t_shift,
+                )
+                if self.vocos_params is not None:
+                    self.vocode(mel, gen_len)
+
     def prompt_features(self, prompt_wav: np.ndarray, sr: int,
                         target_rms: float = 0.1):
         """Resample + RMS-normalize + fbank the prompt
