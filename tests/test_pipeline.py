@@ -297,3 +297,21 @@ def test_synthesize_long(model_dir):
     )
     assert res.metrics["chunks"] >= 2
     assert len(res.wav) > 0 and np.isfinite(res.wav).all()
+
+
+def test_pipeline_warmup(model_dir):
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    pipe.warmup(num_step=2, seconds=(0.5,), token_counts=(4,))
+    # the warmed program is reused: same bucket -> cache hit
+    assert pipe._sample_fn.cache_info().currsize >= 1
