@@ -66,3 +66,107 @@ def test_fused_attention_gradients_match_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, pq, pe)
     for a, b_ in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_fused_attention_penalty_gradients_match_xla():
+    """Fused ds kernel with the score failsafe == XLA penalize_abs_values_gt
+    applied to the pre-mask scores (ref zipformer.py:1254-1269)."""
+    from zipvoice_tpu.nn.regularizers import penalize_abs_values_gt
+
+    b, t, h, qd, pd = 1, 128, 2, 8, 4
+    rng = np.random.default_rng(2)
+    # scale q/k up so |scores| > 25 actually occurs
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)) * 2.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)) * 2.5, jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([100])[:, None])
+    pen = jnp.asarray(1.0e-2, jnp.float32)  # large penalty -> visible grads
+
+    def loss_fused(q, k, pq, pe):
+        p = rel_attention_probs(q, k, pq, pe, mask, out_dtype=jnp.float32,
+                                interpret=True, score_penalty=pen,
+                                penalty_limit=25.0)
+        return jnp.sum(jnp.sin(p))
+
+    def loss_xla(q, k, pq, pe):
+        s = jnp.einsum("bthd,bshd->bhts", q, k,
+                       preferred_element_type=jnp.float32)
+        pos = jnp.einsum("bthd,nhd->bhtn", pq, pe,
+                         preferred_element_type=jnp.float32)
+        s = s + _rel_shift(pos, t)
+        s = penalize_abs_values_gt(s, jnp.asarray(True), limit=25.0,
+                                   penalty=float(pen))
+        p = masked_softmax(s, mask)
+        return jnp.sum(jnp.sin(p))
+
+    # sanity: the penalty actually fires on these inputs
+    s_chk = np.asarray(jnp.einsum("bthd,bshd->bhts", q, k))
+    assert (np.abs(s_chk) > 25.0).any()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+@pytest.mark.parametrize("gates_on", [False, True])
+def test_training_attention_fused_matches_xla_path(monkeypatch, gates_on):
+    """zipformer._attention_weights with a TrainCtx: the fused branch (pq
+    gating + in-kernel failsafe) must match the XLA branch forward AND
+    gradients when every stochastic gate resolves identically."""
+    from types import SimpleNamespace
+
+    import zipvoice_tpu.ops.attention as att
+    from zipvoice_tpu.nn import zipformer as zf
+
+    b, t, d, h, qd, pd = 1, 128, 16, 2, 8, 4
+    rng = np.random.default_rng(3)
+    cfg = SimpleNamespace(num_heads=h, query_head_dim=qd, pos_head_dim=pd)
+    # scale in_proj up so |scores| can exceed the failsafe limit
+    p = {
+        "in_proj": {
+            "weight": jnp.asarray(
+                rng.standard_normal((d, (2 * qd + pd) * h)), jnp.float32),
+            "bias": jnp.zeros(((2 * qd + pd) * h,), jnp.float32),
+        },
+        "linear_pos": {
+            "weight": jnp.asarray(
+                rng.standard_normal((d, pd * h)) * 0.3, jnp.float32),
+        },
+    }
+    x = jnp.asarray(rng.standard_normal((b, t, d)) * 2.0, jnp.float32)
+    pos_emb = jnp.asarray(rng.standard_normal((2 * t - 1, d)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([100])[:, None])
+    schedules = {"whiten_3": 3.0, "pos_emb_skip_rate": 0.07}
+
+    class FixedGateCtx(zf.TrainCtx):
+        def gate(self, prob):
+            self.next_key()  # consume, like the real gate
+            return jnp.asarray(gates_on)
+
+    real = att.rel_attention_probs
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return real(*a, **kw)
+
+    def loss(p, x, fused):
+        monkeypatch.setattr(att, "rel_attention_probs", interp)
+        zf.set_fused_attention(fused)
+        try:
+            ctx = FixedGateCtx(jax.random.PRNGKey(7), schedules)
+            w = zf._attention_weights(p, cfg, x, pos_emb, mask, ctx)
+        finally:
+            zf.set_fused_attention(None)
+            monkeypatch.setattr(att, "rel_attention_probs", real)
+        return jnp.sum(jnp.sin(w * 3.0))
+
+    (l_f, g_f) = jax.value_and_grad(loss, argnums=(0, 1))(p, x, True)
+    (l_x, g_x) = jax.value_and_grad(loss, argnums=(0, 1))(p, x, False)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    for a, b_ in zip(flat_f, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)

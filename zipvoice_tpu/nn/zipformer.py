@@ -59,7 +59,7 @@ def set_fused_attention(enabled: Optional[bool]):
 
 
 def _fused_attention_wanted(t: int, ctx) -> bool:
-    if ctx is not None or t % 128 != 0:
+    if t % 128 != 0:
         return False
     if _FUSED_ATTENTION is not None:
         return _FUSED_ATTENTION
@@ -366,8 +366,20 @@ def _attention_weights(
 
         # probs in compute dtype: every consumer casts to x.dtype anyway
         # (softmax itself stays f32 inside the kernel)
+        if ctx is None:
+            return rel_attention_probs(
+                q, k, pq, pe, key_padding_mask, out_dtype=x.dtype
+            )
+        # training regularizers, same RNG draws/order as the XLA path below:
+        # pos-score dropout gates pq (linear in pos_scores, so forward and
+        # gradients match gating the scores), and the score failsafe runs
+        # inside the kernel's backward on the pre-mask scores.
+        use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
+        pq = pq * jnp.where(use_pos, 1.0, 0.0).astype(pq.dtype)
+        pen = jnp.where(ctx.gate(0.1), 1.0e-04, 0.0).astype(jnp.float32)
         return rel_attention_probs(
-            q, k, pq, pe, key_padding_mask, out_dtype=x.dtype
+            q, k, pq, pe, key_padding_mask, out_dtype=x.dtype,
+            score_penalty=pen, penalty_limit=25.0,
         )
 
     attn_scores = jnp.einsum(

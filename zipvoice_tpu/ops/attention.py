@@ -95,6 +95,98 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
     out_ref[0] = probs.astype(out_ref.dtype)
 
 
+def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
+                ds_ref, *, limit):
+    """Backward: recompute scores tile-wise (same math as _kernel) and emit
+    the score cotangent ds in one pass — softmax VJP fused with the
+    attention-score failsafe penalty (ref scaling.py:699-726 adds
+    penalty * sign(s) * (|s| > limit) to the PRE-mask score gradient, w.p.
+    0.1; pen_ref holds gate * penalty, zero when ungated).  Fusing here
+    avoids writing the (B, H, T, T) f32 probs to HBM and reading them back
+    for the elementwise VJP.
+    """
+    t = k_ref.shape[1]
+    ti = q_ref.shape[1]
+    i0 = pl.program_id(1) * ti
+
+    qk = jax.lax.dot_general(
+        q_ref[0], k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    band_start = pl.multiple_of(t - ti - i0, TILE)
+    band = pe_ref[0, pl.ds(band_start, t + ti), :]
+    pos_full = jax.lax.dot_general(
+        pq_ref[0], band,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    w = t + ti
+
+    def roll_right(v, s):
+        return jnp.concatenate([v[:, w - s :], v[:, : w - s]], axis=1)
+
+    x = jnp.concatenate([pos_full[:, ti - 1 :], pos_full[:, : ti - 1]], axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+    nbits = max(1, (ti - 1).bit_length())
+    for bbit in range(nbits):
+        s = 1 << bbit
+        rolled = roll_right(x, s)
+        take = (rows >> bbit) & 1
+        x = jnp.where(take == 1, rolled, x)
+    s_pre = qk + x[:, :t]  # pre-mask scores (what the penalty sees)
+
+    scores = s_pre + mask_ref[0, 0, :][None, :]
+    scores = scores - jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=1, keepdims=True)
+
+    g = g_ref[0].astype(jnp.float32)
+    ds = probs * (g - jnp.sum(g * probs, axis=1, keepdims=True))
+    pen = pen_ref[0, 0]
+    ds = ds + pen * jnp.sign(s_pre) * ((jnp.abs(s_pre) - limit) > 0)
+    ds_ref[0] = ds.astype(ds_ref.dtype)
+
+
+def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, interpret):
+    """ds = d(loss)/d(scores) for the fused attention, shape (B, H, T, T) in
+    q.dtype (the einsum adjoints consume it in compute dtype anyway)."""
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, t, pd)
+    peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)
+    gh = g.reshape(b * h, t, t)
+    pen2 = pen.reshape(1, 1).astype(jnp.float32)
+
+    ds = pl.pallas_call(
+        functools.partial(_bwd_kernel, limit=limit),
+        grid=(b * h, t // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, qd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, pd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda bh, ti: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, t), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, t), lambda bh, ti: (bh, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, t), q.dtype),
+        interpret=interpret,
+    )(qh, kh, pqh, peh, bias, gh, pen2)
+    return ds.reshape(b, h, t, t)
+
+
 def _xla_rel_probs(q, k, pq, pe, bias, out_dtype):
     """Pure-XLA twin of the kernel (same math incl. the additive mask bias);
     its VJP is the kernel's backward."""
@@ -112,15 +204,15 @@ def _xla_rel_probs(q, k, pq, pe, bias, out_dtype):
     return jax.nn.softmax(scores, axis=-1).astype(out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _rel_probs_ad(q, k, pq, pe, bias, out_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _rel_probs_ad(q, k, pq, pe, bias, pen, limit, out_dtype, interpret):
     return _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret)
 
 
-def _rel_probs_fwd(q, k, pq, pe, bias, out_dtype, interpret):
+def _rel_probs_fwd(q, k, pq, pe, bias, pen, limit, out_dtype, interpret):
     return (
         _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret),
-        (q, k, pq, pe, bias),
+        (q, k, pq, pe, bias, pen),
     )
 
 
@@ -135,16 +227,18 @@ def _unshear(ds: jax.Array) -> jax.Array:
     return flat.reshape(b, h, t, 2 * t - 1)
 
 
-def _rel_probs_bwd(out_dtype, interpret, res, g):
-    """Analytic backward: recompute probs with the fused kernel, softmax VJP,
-    then the three matmul adjoints — no (2T-1) f32 rematerialization of the
-    forward's positional tensor (the dominant HBM cost of jax.vjp through
-    the XLA twin)."""
-    q, k, pq, pe, bias = res
-    probs = _pallas_rel_probs(q, k, pq, pe, bias, jnp.float32, interpret)
-    g32 = g.astype(jnp.float32)
-    ds = probs * (g32 - jnp.sum(g32 * probs, axis=-1, keepdims=True))
-    dsb = ds.astype(q.dtype)
+def _rel_probs_bwd(limit, out_dtype, interpret, res, g):
+    """Analytic backward: one Pallas pass recomputes scores and emits the
+    score cotangent ds (softmax VJP + the gated failsafe penalty on pre-mask
+    scores), then the three matmul adjoints — neither the (2T-1) f32
+    positional tensor nor the f32 probs ever round-trip through HBM.
+
+    The bias cotangent includes the penalty term (true d/d bias is the
+    softmax part only), but bias always derives from a boolean padding mask,
+    so its cotangent is never propagated; pen's cotangent is zero (the
+    penalty enters the loss, not the output)."""
+    q, k, pq, pe, bias, pen = res
+    dsb = _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, interpret)
 
     dq = jnp.einsum("bhts,bshd->bthd", dsb, k,
                     preferred_element_type=jnp.float32).astype(q.dtype)
@@ -156,14 +250,18 @@ def _rel_probs_bwd(out_dtype, interpret, res, g):
                      preferred_element_type=jnp.float32).astype(pq.dtype)
     dpe = jnp.einsum("bhtn,bthd->nhd", dpos, pq,
                      preferred_element_type=jnp.float32).astype(pe.dtype)
-    dbias = jnp.sum(ds, axis=(1, 2))[:, None, :].astype(bias.dtype)
-    return dq, dk, dpq, dpe, dbias
+    dbias = jnp.sum(dsb.astype(jnp.float32), axis=(1, 2))[:, None, :].astype(
+        bias.dtype
+    )
+    return dq, dk, dpq, dpe, dbias, jnp.zeros((), pen.dtype)
 
 
 _rel_probs_ad.defvjp(_rel_probs_fwd, _rel_probs_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "penalty_limit")
+)
 def rel_attention_probs(
     q: jax.Array,  # (B, T, H, qd)
     k: jax.Array,  # (B, T, H, qd)
@@ -172,14 +270,21 @@ def rel_attention_probs(
     key_padding_mask: Optional[jax.Array],  # (B, T) bool or None
     out_dtype=jnp.float32,
     interpret: bool = False,
+    score_penalty: Optional[jax.Array] = None,  # scalar gate*penalty, f32
+    penalty_limit: float = 25.0,
 ) -> jax.Array:
     """Fused attention probabilities (B, H, T, T); differentiable (forward =
-    Pallas kernel, backward = VJP of the identical XLA computation).  T must
-    be a multiple of TILE; other shapes use the XLA fallback in
+    Pallas kernel, backward = fused Pallas ds kernel + matmul adjoints).  T
+    must be a multiple of TILE; other shapes use the XLA fallback in
     nn/zipformer.py.  The key-padding mask enters as an additive -1000 bias
     (identical softmax output for any row with >=1 unmasked key; fully-padded
     rows attend uniformly over real scores instead of uniformly over
-    constants — those outputs are never consumed)."""
+    constants — those outputs are never consumed).
+
+    score_penalty implements penalize_abs_values_gt on the pre-mask scores
+    (ref zipformer.py:1254-1269): pass where(gate, penalty, 0.0) and the
+    backward adds score_penalty * sign(s) * (|s| > penalty_limit) to the
+    score cotangent, exactly like the XLA training path."""
     b, t = q.shape[0], q.shape[1]
     if key_padding_mask is None:
         bias = jnp.zeros((b, 1, t), jnp.float32)
@@ -187,7 +292,10 @@ def rel_attention_probs(
         bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
             :, None, :
         ]
-    return _rel_probs_ad(q, k, pq, pe, bias, out_dtype, interpret)
+    if score_penalty is None:
+        score_penalty = jnp.zeros((), jnp.float32)
+    return _rel_probs_ad(q, k, pq, pe, bias, score_penalty,
+                         float(penalty_limit), out_dtype, interpret)
 
 
 def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
