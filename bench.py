@@ -59,13 +59,15 @@ def _train_throughput(cfg) -> float:
 
     params, opt_state, m = step(params, opt_state, batch, key,
                                 np.int32(1), np.float32(0), sched)
-    jax.block_until_ready(m["loss"])
+    # forced host read: on the remote-attached platform block_until_ready
+    # can return before the step has executed, inflating throughput
+    float(m["loss"])
     n = 5
     t0 = time.monotonic()
     for i in range(n):
         params, opt_state, m = step(params, opt_state, batch, key,
                                     np.int32(i + 2), np.float32(0), sched)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     step_time = (time.monotonic() - t0) / n
     audio_seconds = float(np.sum(batch["features_lens"])) * 256 / 24000
     return audio_seconds / step_time
