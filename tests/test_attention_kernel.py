@@ -170,3 +170,33 @@ def test_training_attention_fused_matches_xla_path(monkeypatch, gates_on):
     for a, b_ in zip(flat_f, flat_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fused_attention_bf16_inputs():
+    """bf16 q/k/pq/pe (the training compute dtype): forward stays close to the
+    f32 XLA path (softmax accumulates f32 in-kernel) and the backward emits
+    finite bf16-consumable cotangents."""
+    b, t, h, qd, pd = 1, 128, 2, 8, 4
+    rng = np.random.default_rng(4)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    q, k = mk(b, t, h, qd), mk(b, t, h, qd)
+    pq, pe = mk(b, t, h, pd), mk(2 * t - 1, h, pd)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([90])[:, None])
+
+    out = rel_attention_probs(q, k, pq, pe, mask, out_dtype=jnp.bfloat16,
+                              interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(_xla_path(*(a.astype(jnp.float32) for a in (q, k, pq, pe)),
+                               mask))
+    assert np.abs(np.asarray(out, np.float32) - ref).max() < 8e-3
+
+    def loss(q, k, pq, pe):
+        p = rel_attention_probs(q, k, pq, pe, mask, out_dtype=jnp.bfloat16,
+                                interpret=True,
+                                score_penalty=jnp.asarray(1e-4, jnp.float32))
+        return jnp.sum(p.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    for a in grads:
+        assert a.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(a, np.float32)).all()

@@ -33,16 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
-def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
-    """Grid: (B*H, T // TILE); refs carry a leading singleton block dim.
+def _tile_scores(q_ref, k_ref, pq_ref, pe_ref):
+    """Pre-mask scores (TILE, T) f32 for the current grid tile.
 
     q_ref:   (1, TILE, qd)   row-tile queries
     k_ref:   (1, T, qd)      all keys of this (b, h)
     pq_ref:  (1, TILE, pd)   positional queries
     pe_ref:  (1, 2T, pd)     projected positional encodings of this h
                              (row n encodes offset n - (T-1); row 2T-1 pad)
-    mask_ref:(1, 1, T) f32   additive key-padding bias (-1000 at masked)
-    out_ref: (1, TILE, T)    softmaxed attention probabilities
     """
     t = k_ref.shape[1]
     ti = q_ref.shape[1]
@@ -86,12 +84,21 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
         rolled = roll_right(x, s)
         take = (rows >> bbit) & 1
         x = jnp.where(take == 1, rolled, x)
-    sheared = x[:, :t]
+    return qk + x[:, :t]
 
-    scores = qk + sheared + mask_ref[0, 0, :][None, :]
+
+def _tile_softmax(scores):
     scores = scores - jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores)
-    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
+    """Forward. Grid: (B*H, T // TILE); refs carry a leading singleton block
+    dim (see _tile_scores).  mask_ref: (1, 1, T) f32 additive key-padding
+    bias (-1000 at masked); out_ref: (1, TILE, T) softmaxed probabilities."""
+    scores = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)
+    probs = _tile_softmax(scores + mask_ref[0, 0, :][None, :])
     out_ref[0] = probs.astype(out_ref.dtype)
 
 
@@ -105,41 +112,8 @@ def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
     avoids writing the (B, H, T, T) f32 probs to HBM and reading them back
     for the elementwise VJP.
     """
-    t = k_ref.shape[1]
-    ti = q_ref.shape[1]
-    i0 = pl.program_id(1) * ti
-
-    qk = jax.lax.dot_general(
-        q_ref[0], k_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    band_start = pl.multiple_of(t - ti - i0, TILE)
-    band = pe_ref[0, pl.ds(band_start, t + ti), :]
-    pos_full = jax.lax.dot_general(
-        pq_ref[0], band,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    w = t + ti
-
-    def roll_right(v, s):
-        return jnp.concatenate([v[:, w - s :], v[:, : w - s]], axis=1)
-
-    x = jnp.concatenate([pos_full[:, ti - 1 :], pos_full[:, : ti - 1]], axis=1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
-    nbits = max(1, (ti - 1).bit_length())
-    for bbit in range(nbits):
-        s = 1 << bbit
-        rolled = roll_right(x, s)
-        take = (rows >> bbit) & 1
-        x = jnp.where(take == 1, rolled, x)
-    s_pre = qk + x[:, :t]  # pre-mask scores (what the penalty sees)
-
-    scores = s_pre + mask_ref[0, 0, :][None, :]
-    scores = scores - jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores)
-    probs = e / jnp.sum(e, axis=1, keepdims=True)
+    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)  # what the penalty sees
+    probs = _tile_softmax(s_pre + mask_ref[0, 0, :][None, :])
 
     g = g_ref[0].astype(jnp.float32)
     ds = probs * (g - jnp.sum(g * probs, axis=1, keepdims=True))
