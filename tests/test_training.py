@@ -178,3 +178,34 @@ def test_trainer_loop_and_resume(corpus, tmp_path):
                                    trainer.params["embed"]["weight"]))
     np.testing.assert_allclose(a, np.asarray(trainer.params["embed"]["weight"]),
                                rtol=0, atol=0)
+
+
+def test_train_cli_smoke(corpus, tmp_path, monkeypatch):
+    """bin/train_zipvoice.py end-to-end: argparse -> data -> trainer -> ckpt."""
+    from zipvoice_tpu.bin.train_zipvoice import main
+
+    model_json = {
+        "model": {k: list(v) if isinstance(v, tuple) else v
+                  for k, v in TINY.items()},
+        "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 20},
+    }
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(model_json))
+    exp = tmp_path / "exp"
+    monkeypatch.setattr(sys, "argv", [
+        "train_zipvoice.py",
+        "--train-manifest", str(corpus / "train.tsv"),
+        "--token-file", str(corpus / "tokens.txt"),
+        "--tokenizer", "simple",
+        "--model-config", str(cfg_path),
+        "--exp-dir", str(exp),
+        "--num-epochs", "1",
+        "--num-steps-per-epoch", "2",
+        "--max-duration", "10",
+        "--dtype", "float32",
+        "--log-interval", "1",
+        "--save-every-n", "1000",
+    ])
+    main()
+    assert (exp / "epoch-1.pt").exists()
+    assert (exp / "train_log.jsonl").exists()
