@@ -53,6 +53,29 @@ def set_scan_layers(enabled: bool):
     _SCAN_LAYERS = enabled
 
 
+_REMAT_POLICY: Optional[str] = None
+
+
+def set_remat_policy(name: Optional[str]):
+    """Rematerialization policy for the scanned layer blocks: None (save
+    nothing, recompute everything — minimum memory) or 'dots' (save matmul
+    outputs, recompute elementwise).  Measured on v5e at 123M/B=8/T=1024:
+    'dots' is ~20% SLOWER (303 vs ~250 ms/step) — it pins every attention
+    (B, H, T, T) product in HBM and the extra traffic outweighs the saved
+    recompute — so None stays the default; the knob exists for smaller
+    models/batches where the trade flips."""
+    global _REMAT_POLICY
+    _REMAT_POLICY = name
+
+
+def _layer_checkpoint(fn):
+    if _REMAT_POLICY == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_saveable
+        )
+    return jax.checkpoint(fn)
+
+
 def set_fused_attention(enabled: Optional[bool]):
     global _FUSED_ATTENTION
     _FUSED_ATTENTION = enabled
@@ -681,7 +704,7 @@ def _encoder_stack(
             )
             s = ctx.s
 
-        @jax.checkpoint
+        @_layer_checkpoint
         def layer_fn(carry, per_layer):
             # rematerialized: scan-of-remat-blocks keeps backward memory at
             # one layer's activations instead of the whole stack's
