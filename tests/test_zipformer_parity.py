@@ -148,3 +148,50 @@ def test_state_dict_roundtrip(reference_path):
     assert set(back.keys()) == set(sd.keys())
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_scan_vs_unrolled_layers_and_remat_policy():
+    """set_scan_layers(False) (unrolled, the inference-bench path) and the
+    'dots' remat policy must produce the same forward and gradients as the
+    default scan-of-remat path."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.nn import zipformer as zf
+
+    cfg = _cfg()
+    params = zf.init_tts_zipformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, t = 2, 24
+    x = jnp.asarray(rng.standard_normal((b, t, SMALL["in_dim"])), jnp.float32)
+    tt = jnp.asarray(rng.uniform(0, 1, (b,)), jnp.float32)
+
+    def loss(params):
+        out = zf.tts_zipformer_forward(params, cfg, x, t=tt)
+        return jnp.sum(out ** 2)
+
+    def run():
+        l, g = jax.value_and_grad(loss)(params)
+        return float(l), g
+
+    try:
+        zf.set_scan_layers(True)
+        l_scan, g_scan = run()
+        zf.set_scan_layers(False)
+        l_unroll, g_unroll = run()
+        zf.set_scan_layers(True)
+        zf.set_remat_policy("dots")
+        l_dots, g_dots = run()
+    finally:
+        zf.set_scan_layers(True)
+        zf.set_remat_policy(None)
+
+    np.testing.assert_allclose(l_unroll, l_scan, rtol=1e-6)
+    np.testing.assert_allclose(l_dots, l_scan, rtol=1e-6)
+    for a, b_, c in zip(jax.tree_util.tree_leaves(g_scan),
+                        jax.tree_util.tree_leaves(g_unroll),
+                        jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
