@@ -48,3 +48,47 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def tp_param_shardings(mesh: Mesh, params):
+    """Tensor-parallel parameter shardings (Megatron-style column/row split
+    of the feedforward linears over the ``model`` axis; everything else
+    replicated).  The feedforward hidden dim is the one axis in this
+    architecture that is both large (4x-ish the encoder dim) and cleanly
+    divisible, so its two matmuls carry the column->row split; attention and
+    conv modules stay replicated (head counts are small and odd at 123M).
+    XLA/GSPMD inserts the reduce-scatter/all-gather pair per layer from these
+    annotations alone."""
+
+    def leaf_sharding(path, leaf):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        joined = "/".join(keys)
+        if "feed_forward" in joined and getattr(leaf, "ndim", 0) >= 1:
+            if joined.endswith("in_proj/weight"):
+                return NamedSharding(mesh, P(None, "model"))
+            if joined.endswith("in_proj/bias"):
+                return NamedSharding(mesh, P("model"))
+            if joined.endswith("out_proj/weight"):
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def tp_opt_state_shardings(mesh: Mesh, opt_state, param_shardings):
+    """Shardings for a ScaledAdamState: the param-shaped moment trees
+    (exp_avg_sq, delta) follow the parameter shardings; every reduced
+    quantity (rms, scale moments, clipping history) is replicated."""
+    repl = NamedSharding(mesh, P())
+    return type(opt_state)(
+        step=repl,
+        exp_avg_sq=param_shardings,
+        delta=param_shardings,
+        param_rms=jax.tree.map(lambda _: repl, opt_state.param_rms),
+        scale_grads=jax.tree.map(lambda _: repl, opt_state.scale_grads),
+        scale_exp_avg_sq=jax.tree.map(
+            lambda _: repl, opt_state.scale_exp_avg_sq
+        ),
+        model_norms=repl,
+        model_norm_threshold=repl,
+    )

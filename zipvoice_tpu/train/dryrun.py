@@ -58,13 +58,17 @@ def run_dryrun(n_devices: int) -> None:
         vocab_size=40,
         pad_id=0,
     )
-    mesh = make_mesh(n_data=n_devices)
+    # 2-D data x model mesh when enough devices: DP over the data axis plus
+    # tensor-parallel feedforward shards over the model axis
+    n_model = 2 if n_devices >= 4 and n_devices % 2 == 0 else 1
+    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
 
     params = init_zipvoice(jax.random.PRNGKey(0), cfg)
     opt = scaled_adam(clipping_scale=2.0)
     opt_state = opt.init(params)
-    params = replicate(mesh, params)
-    opt_state = replicate(mesh, opt_state)
+    if n_model == 1:
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
 
     b, s, t = n_devices * 2, 12, 32
     rng = np.random.default_rng(0)
@@ -82,7 +86,8 @@ def run_dryrun(n_devices: int) -> None:
 
     # bf16 exercises the production mixed-precision path
     step = make_train_step(
-        cfg, opt, TrainConfig(compute_dtype="bfloat16"), mesh=mesh
+        cfg, opt, TrainConfig(compute_dtype="bfloat16"), mesh=mesh,
+        params_template=params, opt_state_template=opt_state,
     )
     params, opt_state, metrics = step(
         params, opt_state, batch, jax.random.PRNGKey(1),
@@ -90,4 +95,5 @@ def run_dryrun(n_devices: int) -> None:
     )
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
-    print(f"dryrun ok: {n_devices} devices, loss={loss:.4f}")
+    kind = f"dp={n_devices // n_model} x tp={n_model}" if n_model > 1 else "dp"
+    print(f"dryrun ok: {n_devices} devices ({kind}), loss={loss:.4f}")

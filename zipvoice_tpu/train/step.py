@@ -53,6 +53,8 @@ def make_train_step(
     opt: ScaledAdam,
     train_cfg: TrainConfig = TrainConfig(),
     mesh=None,
+    params_template=None,
+    opt_state_template=None,
 ):
     """Build the jitted train step.
 
@@ -61,6 +63,12 @@ def make_train_step(
 
     batch dict: tokens (B, S) int32, tokens_lens (B,), features (B, T, F),
     features_lens (B,).  All shapes static per bucket.
+
+    With a 2-D mesh (``model`` axis > 1) pass params_template and
+    opt_state_template (any pytrees with the right structure, e.g. the real
+    params/opt state): the feedforward linears and their Adam moments shard
+    over the model axis (tensor parallel) while the batch shards over data —
+    GSPMD derives the collectives from the annotations.
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -125,10 +133,28 @@ def make_train_step(
         "features_lens": data,
     }
 
+    use_tp = (
+        "model" in mesh.axis_names
+        and mesh.shape["model"] > 1
+        and params_template is not None
+        and opt_state_template is not None
+    )
+    if use_tp:
+        from zipvoice_tpu.parallel.mesh import (
+            tp_opt_state_shardings,
+            tp_param_shardings,
+        )
+
+        p_shard = tp_param_shardings(mesh, params_template)
+        s_shard = tp_opt_state_shardings(mesh, opt_state_template, p_shard)
+    else:
+        p_shard = s_shard = repl
+
     jitted = jax.jit(
         train_step,
-        in_shardings=(repl, repl, batch_shardings, repl, repl, repl, repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(p_shard, s_shard, batch_shardings, repl, repl, repl,
+                      repl),
+        out_shardings=(p_shard, s_shard, repl),
         donate_argnums=(0, 1),
     )
 
