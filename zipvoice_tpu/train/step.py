@@ -5,8 +5,9 @@ Equivalent of the reference's inner loop (ref zipvoice/bin/train_zipvoice.py:
 
 * one jit covers: t/noise sampling, condition masks, text encoder, fm_decoder
   forward, backward, ScaledAdam update — no GradScaler (bf16 needs none);
-* batch is sharded over the 1-D ``data`` mesh axis; params/optimizer state
-  are replicated; XLA inserts the gradient all-reduce over ICI from the
+* batch is sharded over the ``data`` mesh axis; params/optimizer state are
+  replicated (or, with a ``model`` axis and templates, tensor-parallel over
+  the feedforward dims); XLA inserts the collectives over ICI from the
   sharding annotations (the DDP/NCCL equivalent, SURVEY.md §2.10);
 * randomness is an explicit jax.random key (the reference uses global torch
   RNG), split per step on host.
