@@ -182,10 +182,7 @@ def main():
     if args.scan_oom:
         # fwd+bwd the most pessimistic (longest total duration) batch first
         # (ref train_zipvoice.py:808-858 find_pessimistic_batches)
-        batches = sorted(
-            sampler._epoch_batches(),
-            key=lambda b: sum(u.duration for u in b), reverse=True,
-        )[:1]
+        batches = sampler.pessimistic_batches(1)
         if batches:
             logging.info("scan-oom: running the largest batch")
             trainer.step_and_log(collate(batches[0]))
@@ -207,17 +204,22 @@ def main():
         (exp / "model.json").write_text(Path(args.model_config).read_text())
         (exp / "tokens.txt").write_text(Path(args.token_file).read_text())
 
+    from zipvoice_tpu.data.prefetch import PrefetchBatches
+
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         trainer.epoch = epoch
         sampler.set_epoch(epoch)
         logging.info("epoch %d: %d batches", epoch, len(sampler))
-        for i, utts in enumerate(sampler):
+        # wav decode + fbank collation overlap the device step (the native IO
+        # runtime releases the GIL, so one producer thread hides the latency)
+        batches = PrefetchBatches(sampler, collate, depth=2)
+        for i, batch in enumerate(batches):
             if args.num_steps_per_epoch and i >= args.num_steps_per_epoch:
                 break
             trainer.step_and_log(
-                collate(utts), dev_batches, sampler_state_fn=sampler.state_dict
+                batch, dev_batches, sampler_state_fn=batches.state_dict
             )
-        trainer.save(str(exp / f"epoch-{epoch}.pt"), sampler.state_dict())
+        trainer.save(str(exp / f"epoch-{epoch}.pt"), batches.state_dict())
         logging.info("saved epoch-%d.pt", epoch)
 
 

@@ -133,29 +133,33 @@ def main(stereo: bool = False):
 
     copy_model_dir_contract(args, args.exp_dir)
     exp = Path(args.exp_dir)
+
+    from zipvoice_tpu.data.prefetch import PrefetchBatches
+
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         trainer.epoch = epoch
         sampler.set_epoch(epoch)
-        for i, utts in enumerate(sampler):
+        batches = PrefetchBatches(sampler, collate, depth=2)
+        for i, batch in enumerate(batches):
             if stereo:
                 # alternate 2-channel / mixed objectives per batch
                 # (ref train_zipvoice_dialog_stereo.py:507, :355-358)
-                batch = collate(utts)
                 use_two = i % 2 == 1
                 f = model_cfg.feat_dim
                 feats = batch["features"]
+                batch = dict(batch)
                 batch["features"] = (
                     feats[:, :, : 2 * f] if use_two else feats[:, :, 2 * f :]
                 )
                 trainer.active_step_fn = two_ch_fn if use_two else mixed_fn
                 trainer.step_and_log(batch, dev_batches,
-                                     sampler_state_fn=sampler.state_dict)
+                                     sampler_state_fn=batches.state_dict)
             else:
-                trainer.step_and_log(collate(utts), dev_batches,
-                                     sampler_state_fn=sampler.state_dict)
+                trainer.step_and_log(batch, dev_batches,
+                                     sampler_state_fn=batches.state_dict)
             if args.num_iters and trainer.batch_idx_train >= args.num_iters:
                 break
-        trainer.save(str(exp / f"epoch-{epoch}.pt"), sampler.state_dict())
+        trainer.save(str(exp / f"epoch-{epoch}.pt"), batches.state_dict())
         if args.num_iters and trainer.batch_idx_train >= args.num_iters:
             break
 

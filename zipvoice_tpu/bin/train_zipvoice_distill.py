@@ -71,9 +71,11 @@ def main():
     from zipvoice_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from zipvoice_tpu.text.tokenizer import get_tokenizer
     from zipvoice_tpu.train.checkpoint import (
+        init_averaged_model,
         load_checkpoint,
         remove_checkpoints,
         save_checkpoint,
+        update_averaged_model,
     )
     from zipvoice_tpu.train.distill_step import (
         draw_t_schedule,
@@ -111,6 +113,13 @@ def main():
         teacher_cfg=base_cfg if args.distill_stage == "first" else student_cfg,
         mesh=mesh,
     )
+    # float64 running average of the student, maintained every
+    # --average-period steps like the base trainer (the reference keeps
+    # model_avg during distillation too — that is how the published
+    # iter-60000-avg-7 stage-1 checkpoint exists, ref egs/zipvoice/
+    # run_emilia.sh:77-85, train_zipvoice_distill.py).
+    model_avg = init_averaged_model(student) if jax.process_index() == 0 else None
+
     student = replicate(mesh, student)
     teacher = replicate(mesh, teacher)
     opt_state = replicate(mesh, opt_state)
@@ -121,11 +130,13 @@ def main():
     step_idx = 0
     max_iters = args.num_iters or (60000 if args.distill_stage == "first" else 2000)
 
+    from zipvoice_tpu.data.prefetch import PrefetchBatches
+
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         sampler.set_epoch(epoch)
-        for utts in sampler:
+        for host_batch in PrefetchBatches(sampler, collate, depth=2):
             step_idx += 1
-            batch = shard_batch(mesh, collate(utts))
+            batch = shard_batch(mesh, host_batch)
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step_idx)
             t_triple = np.asarray(draw_t_schedule(host_rng), np.float32)
             student, teacher, opt_state, metrics = step_fn(
@@ -137,9 +148,15 @@ def main():
                     "step %d loss %.4f ref_loss %.4f", step_idx,
                     float(metrics["loss"]), float(metrics["ref_loss"]),
                 )
+            if (step_idx % args.average_period == 0
+                    and jax.process_index() == 0):
+                model_avg = update_averaged_model(
+                    model_avg, student, step_idx, args.average_period
+                )
             if step_idx % args.save_every_n == 0 and jax.process_index() == 0:
                 save_checkpoint(
                     str(exp / f"checkpoint-{step_idx}.pt"), student,
+                    model_avg=model_avg,
                     model_ema=teacher if args.distill_stage == "second" else None,
                     opt_state=opt_state,
                     info={"batch_idx_train": step_idx,
@@ -153,8 +170,10 @@ def main():
 
     if jax.process_index() == 0:
         save_checkpoint(
-            str(exp / f"iter-{step_idx}.pt"), student, opt_state=None,
-            info={"batch_idx_train": step_idx},
+            str(exp / f"iter-{step_idx}.pt"), student, model_avg=model_avg,
+            opt_state=None,
+            info={"batch_idx_train": step_idx,
+                  "average_period": args.average_period},
         )
         logging.info("saved iter-%d.pt", step_idx)
 

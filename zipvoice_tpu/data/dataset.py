@@ -134,6 +134,15 @@ class DurationBucketSampler:
         # per-host shard
         return batches[self.process_index :: self.process_count]
 
+    def pessimistic_batches(self, n: int = 1) -> List[List[Utterance]]:
+        """The n largest batches (by total audio seconds) of the current
+        epoch — the OOM-scan candidates (ref lhotse find_pessimistic_batches,
+        used by train_zipvoice.py:808-858).  Does not advance the cursor."""
+        return sorted(
+            self._epoch_batches(),
+            key=lambda b: sum(u.duration for u in b), reverse=True,
+        )[:n]
+
     def __iter__(self) -> Iterator[List[Utterance]]:
         batches = self._epoch_batches()
         for i in range(self.batch_cursor, len(batches)):

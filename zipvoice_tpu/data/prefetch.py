@@ -50,3 +50,35 @@ class PrefetchIterator:
 def prefetch_batches(sampler, collate: Callable, depth: int = 2):
     """Iterate collated batches with background prefetch."""
     return PrefetchIterator((collate(b) for b in sampler), depth=depth)
+
+
+class PrefetchBatches:
+    """Background-collated batches with resume-safe sampler state.
+
+    The producer thread advances the sampler ahead of consumption, so the
+    sampler's own ``state_dict()`` would over-count consumed batches by up to
+    ``depth``.  This wrapper snapshots the sampler state alongside each
+    produced batch and reports the state as of the *last consumed* batch —
+    checkpoints made mid-epoch resume exactly where training stopped.
+    """
+
+    def __init__(self, sampler, collate: Callable, depth: int = 2):
+        self._state = sampler.state_dict()
+
+        def gen():
+            for utts in sampler:
+                yield collate(utts), sampler.state_dict()
+
+        self._it = PrefetchIterator(gen(), depth=depth)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch, state = next(self._it)
+        self._state = state
+        return batch
+
+    def state_dict(self):
+        """Sampler state as of the last batch returned by ``__next__``."""
+        return self._state

@@ -136,6 +136,25 @@ def average_checkpoints_with_averaged_model(
 
     cs = torch.load(filename_start, map_location="cpu", weights_only=False)
     ce = torch.load(filename_end, map_location="cpu", weights_only=False)
+    if "model_avg" not in cs or "model_avg" not in ce:
+        # Checkpoints written without a running average (e.g. by external
+        # tooling): degrade to the plain mean of the two raw weight sets
+        # rather than crashing — clearly weaker than the reference recipe,
+        # so warn loudly.
+        import logging
+
+        logging.warning(
+            "model_avg missing in %s / %s; falling back to the plain mean of "
+            "the two checkpoints' raw weights (NOT the running-average "
+            "differencing recipe)", filename_start, filename_end,
+        )
+        avg_sd = {
+            k: ((np.asarray(v.to(torch.float64).numpy())
+                 + np.asarray(cs["model"][k].to(torch.float64).numpy())) / 2.0
+                ).astype(np.float32)
+            for k, v in ce["model"].items()
+        }
+        return state_dict_to_params(avg_sd)
     period = cs["average_period"]
     b_start = (cs["batch_idx_train"] // period) * period
     b_end = (ce["batch_idx_train"] // period) * period

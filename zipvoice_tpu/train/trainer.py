@@ -237,9 +237,8 @@ class Trainer:
 
     def train_epoch(self, train_batches, valid_batches=None,
                     sampler_state_fn=None):
-        t0 = time.monotonic()
         for batch in train_batches:
-            metrics = self.step_and_log(batch, valid_batches, sampler_state_fn)
+            self.step_and_log(batch, valid_batches, sampler_state_fn)
         return self.tracker.tot
 
     def step_and_log(self, batch, valid_batches=None, sampler_state_fn=None):
