@@ -102,3 +102,136 @@ def test_parity_harness_end_to_end(reference_path, tmp_path):
     mse = run_parity(str(tmp_path), str(reference_path), num_step=4,
                      seconds=1.5, prompt_seconds=0.5)
     assert mse < 1e-3, mse
+
+
+def test_edit_ops_counts():
+    from zipvoice_tpu.eval.metrics import edit_ops
+
+    assert edit_ops("abc", "axc") == (1, 0, 0)
+    assert edit_ops("ab", "a") == (0, 1, 0)
+    assert edit_ops("a", "ab") == (0, 0, 1)
+    assert edit_ops("kitten", "sitting") == (2, 0, 1)
+    s, d, i = edit_ops("the quick fox".split(), "the slow brown fox".split())
+    assert s + d + i == 2  # 1 sub + 1 ins
+
+
+def test_seedtts_normalize_and_t2s():
+    from zipvoice_tpu.text.zh import seedtts_normalize, traditional_to_simplified
+
+    assert seedtts_normalize("Hello, World! It's me.", "en") == "hello world it's me"
+    assert seedtts_normalize("你好，世界！", "zh") == "你 好 世 界"
+    assert traditional_to_simplified("聽說這裡風景很美") == "听说这里风景很美"
+    with pytest.raises(ValueError):
+        seedtts_normalize("x", "fr")
+
+
+def test_score_pairs_seedtts_protocol():
+    """Both Seed-TTS aggregates (mean-of-WERs vs corpus-weighted) computed
+    like ref eval/wer/seedtts.py:252-262."""
+    from zipvoice_tpu.eval.wer import score_pairs
+
+    pairs = [
+        ("u0", "hello world", "hello world"),          # 0/2
+        ("u1", "a b c d", "a x c d"),                  # 1/4
+    ]
+    res = score_pairs(pairs, "en")
+    assert res["wer_avg"] == pytest.approx((0.0 + 0.25) / 2)
+    assert res["wer"] == pytest.approx(1 / 6)
+    assert res["substitutions"] == 1 and res["words"] == 6
+
+    zh = [("u0", "你好世界", "你好地球")]
+    res_zh = score_pairs(zh, "zh")
+    assert res_zh["wer"] == pytest.approx(0.5)  # 2 of 4 chars wrong
+
+    dia = [("u0", "[S1] good morning [S2] how are you",
+            "[S1] how are you [S2] good morning")]
+    res_d = score_pairs(dia, "en", dialog=True)
+    assert res_d["wer_avg"] == 0.0
+
+
+def test_mos_cli_offline(tmp_path, monkeypatch):
+    """The MOS CLI runs fully offline against a locally-saved (random)
+    UTMOS22-strong checkpoint — exercises the vendored model end-to-end."""
+    import sys
+
+    import torch
+
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.eval import mos
+    from zipvoice_tpu.eval.models.utmos import UTMOS22Strong
+
+    torch.manual_seed(0)
+    model = UTMOS22Strong()
+    ckpt = tmp_path / "utmos22_strong.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(wav_dir / f"u{i}.wav",
+                  (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32),
+                  24000)
+
+    out = tmp_path / "utmos.tsv"
+    monkeypatch.setattr(sys, "argv", [
+        "mos", "--wav-dir", str(wav_dir), "--checkpoint", str(ckpt),
+        "--out", str(out),
+    ])
+    mos.main()
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("UTMOS\t") and len(lines) == 3
+    score = float(lines[0].split("\t")[1])
+    assert np.isfinite(score)
+
+
+def test_cpsim_cli_stereo_offline(tmp_path, monkeypatch):
+    """cpSIM CLI end-to-end offline: stereo channels as speakers, split
+    prompts, a deterministic fake encoder — best permutation must pick the
+    matching speaker assignment."""
+    import sys
+
+    import zipvoice_tpu.eval.sim as sim_mod
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.eval import cpsim
+
+    sr = 24000
+    rng = np.random.default_rng(0)
+    # two "speakers" = two distinct band-limited signals
+    spk = [np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32),
+           np.sin(2 * np.pi * 1760 * np.arange(sr) / sr).astype(np.float32)]
+
+    wav_dir = tmp_path / "gen"
+    wav_dir.mkdir()
+    # generated stereo conversation: channel 0 = spk1, channel 1 = spk0
+    write_wav(wav_dir / "c0.wav", np.stack([spk[1], spk[0]]), sr)
+    p1 = tmp_path / "p1.wav"
+    p2 = tmp_path / "p2.wav"
+    write_wav(p1, spk[0][None, :], sr)
+    write_wav(p2, spk[1][None, :], sr)
+    (tmp_path / "list.tsv").write_text(f"c0\tt1\tt2\t{p1}\t{p2}\ttext\n")
+
+    class FakeEncoder:
+        def __init__(self, *a, **k):
+            pass
+
+        def embed(self, wav, sr):
+            # spectral centroid-ish embedding: separates the two tones
+            w = np.asarray(wav, np.float64).ravel()
+            spec = np.abs(np.fft.rfft(w[: 4096]))
+            freqs = np.arange(spec.size)
+            c = (spec * freqs).sum() / (spec.sum() + 1e-9)
+            return np.array([1.0, c / 1000.0])
+
+    monkeypatch.setattr(sim_mod, "SpeakerEncoder", FakeEncoder)
+    out = tmp_path / "cpsim.tsv"
+    monkeypatch.setattr(sys, "argv", [
+        "cpsim", "--wav-dir", str(wav_dir), "--test-list",
+        str(tmp_path / "list.tsv"), "--prompt-mode", "split",
+        "--out", str(out),
+    ])
+    cpsim.main()
+    lines = out.read_text().strip().split("\n")
+    score = float(lines[0].split("\t")[1])
+    # swapped channels still score ~1 thanks to the permutation search
+    assert score > 0.99

@@ -31,6 +31,30 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     return prev[m]
 
 
+def edit_ops(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
+    """(substitutions, deletions, insertions) of the minimal alignment —
+    the jiwer compute_measures counts the reference WER scripts report
+    (ref eval/wer/seedtts.py:154-188)."""
+    n, m = len(ref), len(hyp)
+    # dp[i][j] = (cost, subs, dels, inss)
+    prev = [(j, 0, 0, j) for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [(i, 0, i, 0)] + [None] * m
+        for j in range(1, m + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                cand = [(prev[j - 1][0],) + prev[j - 1][1:]]
+            else:
+                c = prev[j - 1]
+                cand = [(c[0] + 1, c[1] + 1, c[2], c[3])]
+            d = prev[j]
+            cand.append((d[0] + 1, d[1], d[2] + 1, d[3]))
+            s = cur[j - 1]
+            cand.append((s[0] + 1, s[1], s[2], s[3] + 1))
+            cur[j] = min(cand)
+        prev = cur
+    return prev[m][1], prev[m][2], prev[m][3]
+
+
 def normalize_transcript(text: str) -> List[str]:
     """ASR-style normalization: lowercase, strip punctuation, split."""
     text = text.lower()

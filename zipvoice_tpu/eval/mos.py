@@ -1,13 +1,12 @@
 """Naturalness (MOS) evaluation — ref zipvoice/eval/mos/utmos.py.
 
-The reference vendors UTMOS22-strong (wav2vec2 + BLSTM MOS predictor,
-ref eval/models/utmos.py).  Here the scorer is pluggable: by default the
-published UTMOS strong checkpoint is fetched from HF (sarulab-speech);
-offline, this module only validates inputs and reports that the scorer is
-unavailable.
+The scorer is the vendored UTMOS22-strong definition
+(eval/models/utmos.py — same architecture/checkpoint tree as the
+reference's eval/models/utmos.py).  Weights load from a local state-dict
+file (--checkpoint) or from the SpeechMOS release URL (network needed).
 
 Usage:
-  python -m zipvoice_tpu.eval.mos --wav-dir results [--out utmos.tsv]
+  python -m zipvoice_tpu.eval.mos --wav-dir results [--checkpoint utmos.pt]
 """
 
 from __future__ import annotations
@@ -18,29 +17,25 @@ from pathlib import Path
 
 import numpy as np
 
-UTMOS_REPO = "sarulab-speech/UTMOS22"  # strong learner checkpoint
 
+def load_utmos(checkpoint: str = None):
+    """Load the vendored UTMOS22-strong MOS predictor."""
+    from zipvoice_tpu.eval.models.utmos import load_utmos22_strong
 
-def load_utmos():
-    """Load a UTMOS-style MOS predictor.  Requires network/cached weights."""
     try:
-        import torch
-
-        predictor = torch.hub.load(
-            "tarepan/SpeechMOS:v1.2.0", "utmos22_strong", trust_repo=True
-        )
-        predictor.eval()
-        return predictor
+        return load_utmos22_strong(checkpoint)
     except Exception as ex:  # noqa: BLE001
         raise RuntimeError(
-            f"UTMOS predictor unavailable ({ex}); run with network access or "
-            "a pre-populated torch hub cache"
+            f"UTMOS predictor unavailable ({ex}); pass --checkpoint with a "
+            "local utmos22_strong state dict or run with network access"
         ) from ex
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav-dir", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="local utmos22_strong.pt state dict")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -49,7 +44,7 @@ def main():
 
     from zipvoice_tpu.audio.wav import read_wav, resample
 
-    predictor = load_utmos()
+    predictor = load_utmos(args.checkpoint)
     scores = []
     rows = []
     for wav_path in sorted(Path(args.wav_dir).glob("*.wav")):

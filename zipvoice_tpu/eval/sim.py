@@ -1,15 +1,21 @@
 """Speaker-similarity evaluation (SIM-o) — ref zipvoice/eval/speaker_similarity/.
 
 Embeds prompt and generated wavs with a speaker encoder and reports mean
-cosine similarity.  The reference uses a WavLM-large + ECAPA-TDNN stack
-(ref sim.py:77-197, eval/models/ecapa_tdnn_wavlm.py); here the embedding
-backend is pluggable with a WavLM-base HF default (weights download on first
-use).  cpSIM (ref cpsim.py) additionally needs diarization; given an RTTM
-or [S1]/[S2] split it reduces to per-speaker SIM with best permutation —
-see cp_sim().
+cosine similarity.  Paper-comparable backend: the reference's WavLM-large +
+finetuned ECAPA-TDNN stack (ref sim.py:77-197, eval/models/
+ecapa_tdnn_wavlm.py) — pass ``--model-dir`` pointing at a local
+k2-fsa/TTS_eval_models clone (uses speaker_similarity/
+wavlm_large_finetune.pth and speaker_similarity/wavlm_large/wavlm_large.pt;
+see eval/models/ecapa_tdnn_wavlm.py).  Without --model-dir a lightweight HF
+WavLM-base-sv fallback is used (numbers NOT paper-comparable).
+
+cpSIM (ref cpsim.py) additionally needs diarization; given per-speaker
+tracks (pyannote RTTM, stereo channels, or an [S1]/[S2] split) it reduces
+to per-speaker SIM with best permutation — see cp_sim().
 
 Usage:
-  python -m zipvoice_tpu.eval.sim --wav-dir results --test-list test.tsv
+  python -m zipvoice_tpu.eval.sim --wav-dir results --test-list test.tsv \
+      --model-dir /path/to/tts_eval_models
 """
 
 from __future__ import annotations
@@ -22,9 +28,40 @@ from pathlib import Path
 import numpy as np
 
 
+class EcapaWavLMEncoder:
+    """The reference's SIM-o backbone: finetuned ECAPA-TDNN on WavLM-large
+    (ref eval/speaker_similarity/sim.py:83-113).  model_dir = local clone of
+    k2-fsa/TTS_eval_models."""
+
+    MAX_SECONDS = 120  # ref eval/utils.py load_waveform cap
+
+    def __init__(self, model_dir: str):
+        import os
+
+        import torch
+
+        from zipvoice_tpu.eval.models.ecapa_tdnn_wavlm import load_sv_model
+
+        self.torch = torch
+        sv = os.path.join(model_dir,
+                          "speaker_similarity/wavlm_large_finetune.pth")
+        ssl = os.path.join(model_dir,
+                           "speaker_similarity/wavlm_large/wavlm_large.pt")
+        self.model = load_sv_model(sv, ssl if os.path.exists(ssl) else None)
+
+    def embed(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        from zipvoice_tpu.audio.wav import resample
+
+        wav = resample(np.asarray(wav, np.float32).reshape(1, -1), sr, 16000)
+        wav = wav[:, : self.MAX_SECONDS * 16000]
+        with self.torch.no_grad():
+            emb = self.model(self.torch.from_numpy(wav))
+        return emb[0].numpy()
+
+
 class SpeakerEncoder:
-    """Mean-pooled WavLM embedding as a lightweight SIM backbone.  Swap in a
-    finetuned speaker-verification head for paper-comparable numbers."""
+    """Mean-pooled WavLM embedding as a lightweight SIM fallback (numbers
+    not paper-comparable; use EcapaWavLMEncoder via --model-dir)."""
 
     def __init__(self, model_name: str = "microsoft/wavlm-base-plus-sv"):
         import torch
@@ -70,8 +107,12 @@ def main():
     parser.add_argument("--wav-dir", type=str, required=True)
     parser.add_argument("--test-list", type=str, required=True,
                         help="TSV: name\\tprompt_text\\tprompt_wav\\ttext")
+    parser.add_argument("--model-dir", type=str, default=None,
+                        help="local k2-fsa/TTS_eval_models clone -> "
+                             "paper-grade WavLM-large ECAPA backend")
     parser.add_argument("--model", type=str,
-                        default="microsoft/wavlm-base-plus-sv")
+                        default="microsoft/wavlm-base-plus-sv",
+                        help="HF fallback encoder when no --model-dir")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -79,7 +120,12 @@ def main():
     from zipvoice_tpu.audio.wav import read_wav
     from zipvoice_tpu.eval.metrics import cosine_similarity
 
-    enc = SpeakerEncoder(args.model)
+    if args.model_dir:
+        enc = EcapaWavLMEncoder(args.model_dir)
+    else:
+        logging.warning("no --model-dir: using the HF fallback encoder; "
+                        "SIM numbers will not be paper-comparable")
+        enc = SpeakerEncoder(args.model)
     scores = []
     rows = []
     with open(args.test_list, encoding="utf-8") as f:
