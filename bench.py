@@ -73,6 +73,42 @@ def _train_throughput(cfg) -> float:
     return audio_seconds / step_time
 
 
+def _bf16_fidelity(cfg, feat_cfg) -> float:
+    """Mel MSE of the bf16 jitted sampler vs the f32 sampler on the SAME
+    weights and noise — the fidelity cost of the deployment dtype on this
+    hardware.  (Checkpoint-vs-torch parity incl. a bf16 budget lives in
+    eval/parity.py; this on-device number needs no torch reference.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.eval.metrics import mel_mse
+    from zipvoice_tpu.models import zipvoice as zv
+
+    rng = np.random.default_rng(0)
+    frame_rate = feat_cfg.sampling_rate / feat_cfg.hop_length
+    total = int(5.0 * frame_rate)
+    prompt_len = int(2.0 * frame_rate)
+    f = cfg.feat_dim
+    cat = list(rng.integers(1, cfg.vocab_size, 34))
+    tokens_padded = zv.pad_labels([cat], cfg.pad_id)
+    pf = np.zeros((1, total, f), np.float32)
+    pf[0, :prompt_len] = rng.standard_normal((prompt_len, f)) * 0.1
+    noise = rng.standard_normal((1, total, f)).astype(np.float32)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+
+    def run(dtype):
+        p = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        out = zv.sample(
+            p, cfg, tokens_padded, np.array([len(cat)], np.int32),
+            jnp.asarray(pf, dtype), np.array([prompt_len], np.int32),
+            np.array([total], np.int32), jnp.asarray(noise, dtype),
+            num_step=NUM_STEP, guidance_scale=GUIDANCE, t_shift=0.5,
+        )
+        return np.asarray(out.astype(jnp.float32))[0]
+
+    return mel_mse(run(jnp.bfloat16), run(jnp.float32))
+
+
 def main():
     import jax
 
@@ -153,6 +189,7 @@ def main():
     tv = float(np.min(times_voc))
     rtf = (tm + tv) / wav_secs
 
+    bf16_mse = _bf16_fidelity(cfg, feat_cfg)
     train_tp = _train_throughput(cfg)
     result = {
         "metric": "inference_rtf_zipvoice123M_16step",
@@ -164,6 +201,7 @@ def main():
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
             "train_sec_audio_per_sec_per_chip": round(train_tp, 2),
+            "bf16_mel_mse_vs_f32": float(f"{bf16_mse:.3e}"),
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
         },

@@ -103,6 +103,13 @@ def test_parity_harness_end_to_end(reference_path, tmp_path):
                      seconds=1.5, prompt_seconds=0.5)
     assert mse < 1e-3, mse
 
+    # bf16 deployment dtype: measured (not asserted-by-proxy) against the
+    # same torch f32 reference; budget 1e-2 (VERDICT weak #2)
+    mse_bf16 = run_parity(str(tmp_path), str(reference_path), num_step=4,
+                          seconds=1.5, prompt_seconds=0.5, dtype="bfloat16")
+    assert mse_bf16 < 1e-2, mse_bf16
+    assert mse_bf16 > mse  # sanity: bf16 really ran in bf16
+
 
 def test_edit_ops_counts():
     from zipvoice_tpu.eval.metrics import edit_ops

@@ -32,7 +32,12 @@ def run_parity(
     prompt_seconds: float = 2.0,
     seed: int = 0,
     tokenizer: str = "simple",
+    dtype: str = "float32",
 ) -> float:
+    """Mel MSE of our sampler vs the torch reference (f32) on the same
+    checkpoint + noise.  dtype selects OUR side's compute dtype — pass
+    "bfloat16" to measure the fidelity of the deployment dtype against the
+    f32 reference (budget: < 1e-3 f32, < 1e-2 bf16)."""
     sys.path.insert(0, reference_path)
     import torch
 
@@ -63,6 +68,11 @@ def run_parity(
     rng = np.random.default_rng(seed)
     frame_rate = assets.feat_cfg.frame_rate
     total = int(seconds * frame_rate)
+    if prompt_seconds >= seconds:
+        raise ValueError(
+            f"--prompt-seconds ({prompt_seconds}) must be < --seconds "
+            f"({seconds}): the prompt is a prefix of the generated span"
+        )
     prompt_len = int(prompt_seconds * frame_rate)
     f = cfg.feat_dim
     vocab = cfg.vocab_size
@@ -89,25 +99,34 @@ def run_parity(
         ).numpy()[0]
 
     # --- our path (same exact shapes, no bucketing)
+    import jax
+    import jax.numpy as jnp
+
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = assets.params
+    if dtype == "bfloat16":
+        params = jax.tree.map(lambda a: jnp.asarray(a, jdtype), params)
     tokens_padded = zv.pad_labels([cat], cfg.pad_id)
     pf_np = np.zeros((1, total, f), np.float32)
     pf_np[0, :prompt_len] = prompt_feats
     x1 = np.asarray(
         zv.sample(
-            assets.params, cfg, tokens_padded,
-            np.array([len(cat)], np.int32), pf_np,
+            params, cfg, tokens_padded,
+            np.array([len(cat)], np.int32),
+            jnp.asarray(pf_np, jdtype),
             np.array([prompt_len], np.int32), np.array([total], np.int32),
-            noise, num_step=num_step, guidance_scale=guidance_scale,
-            t_shift=t_shift,
-        )
+            jnp.asarray(noise, jdtype), num_step=num_step,
+            guidance_scale=guidance_scale, t_shift=t_shift,
+        ).astype(jnp.float32)
     )[0]
 
     from zipvoice_tpu.eval.metrics import mel_mse
 
     mse = mel_mse(x1, ref_x1)
     logging.info(
-        "mel parity: mse=%.3e max=%.3e (target < 1e-3)",
-        mse, float(np.abs(x1 - ref_x1).max()),
+        "mel parity (%s): mse=%.3e max=%.3e (target < %s)",
+        dtype, mse, float(np.abs(x1 - ref_x1).max()),
+        "1e-2 bf16" if dtype == "bfloat16" else "1e-3 f32",
     )
     return mse
 
@@ -120,16 +139,27 @@ def main():
     p.add_argument("--guidance-scale", type=float, default=1.0)
     p.add_argument("--t-shift", type=float, default=0.5)
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--prompt-seconds", type=float, default=2.0)
     p.add_argument("--tokenizer", type=str, default="simple")
+    p.add_argument("--dtype", type=str, default="both",
+                   choices=["float32", "bfloat16", "both"],
+                   help="our side's compute dtype (budget: <1e-3 f32, "
+                        "<1e-2 bf16); 'both' reports and gates on both")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-    mse = run_parity(
-        args.model_dir, args.reference_path, args.num_step,
-        args.guidance_scale, args.t_shift, args.seconds,
-        tokenizer=args.tokenizer,
-    )
-    ok = mse < 1e-3
-    print(f"mel_mse={mse:.3e} {'PASS' if ok else 'FAIL'}")
+    budgets = {"float32": 1e-3, "bfloat16": 1e-2}
+    dtypes = ["float32", "bfloat16"] if args.dtype == "both" else [args.dtype]
+    ok = True
+    for dt in dtypes:
+        mse = run_parity(
+            args.model_dir, args.reference_path, args.num_step,
+            args.guidance_scale, args.t_shift, args.seconds,
+            prompt_seconds=args.prompt_seconds,
+            tokenizer=args.tokenizer, dtype=dt,
+        )
+        passed = mse < budgets[dt]
+        ok = ok and passed
+        print(f"mel_mse[{dt}]={mse:.3e} {'PASS' if passed else 'FAIL'}")
     raise SystemExit(0 if ok else 1)
 
 
