@@ -61,6 +61,49 @@ def test_diagnostics():
     text = format_diagnostics(astats)
     assert "rms" in text and "encoders.1" in text
 
+    # per-module taps (ref diagnostics hooks every module): layer submodule
+    # outputs appear by name, attention weights carry an entropy stat, and
+    # per-dim/eig summaries exist (ref get_tensor_stats :45-112)
+    attn_keys = [k for k in astats if k.endswith("self_attn_weights")]
+    assert attn_keys, list(astats)[:10]
+    assert all("entropy" in astats[k] for k in attn_keys)
+    assert any(k.endswith("feed_forward1") for k in astats)
+    assert any(k.endswith("conv_module2") for k in astats)
+    assert any(".layer0." in k for k in astats)
+    ff = next(k for k in astats if k.endswith("feed_forward1"))
+    assert len(astats[ff]["dims"][2]["rms"]) == 11  # 11-point profile
+    assert len(astats[ff]["eigs"]) == 11
+    # entropy of a softmax over T=16 keys lands in (0, log 16]
+    ent = astats[attn_keys[0]]["entropy"]
+    assert 0.0 < ent <= np.log(16) + 1e-6
+    # per-dim profiles render
+    assert "eigs percentiles" in format_diagnostics(astats)
+
+
+def test_dim_and_eig_stats_math():
+    from zipvoice_tpu.utils.diagnostics import (
+        attention_entropy,
+        dim_stats,
+        eig_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    ds = dim_stats(x, 1)
+    assert len(ds["rms"]) == 11
+    assert ds["rms"][0] <= ds["rms"][-1]  # sorted profile
+    # eigs of an isotropic gaussian cluster near 1
+    eigs = eig_stats(rng.standard_normal((20000, 6)).astype(np.float32), -1)
+    assert 0.8 < eigs[0] < eigs[-1] < 1.2
+    assert eig_stats(np.zeros((4, 1024), np.float32), -1) is None  # too wide
+    # uniform attention -> entropy log(K); one-hot -> 0
+    k = 32
+    uni = np.full((1, 1, 4, k), 1.0 / k)
+    assert abs(attention_entropy(uni) - np.log(k)) < 1e-9
+    hot = np.zeros((1, 1, 4, k))
+    hot[..., 0] = 1.0
+    assert attention_entropy(hot) == 0.0
+
 
 def test_inf_check():
     tree = {"a": {"w": np.ones(3)}, "b": np.array([1.0, np.nan])}

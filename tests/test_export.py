@@ -67,3 +67,108 @@ def test_export_sampler_roundtrip(tmp_path):
     direct = np.asarray(jax.jit(sampler)(*args))
     loaded = np.asarray(back.call(*args))
     np.testing.assert_allclose(loaded, direct, atol=1e-5)
+
+
+def test_int8_weight_only_quantization():
+    """Quantized sampler (a) really shrinks the tree, (b) leaves embeddings/
+    depthwise convs untouched, (c) stays close to f32 output, (d) round-trips
+    through dequantize."""
+    from zipvoice_tpu.ops.quant import (
+        dequantize_linear_int8,
+        quantize_linear_int8,
+        quantized_bytes,
+    )
+
+    cfg = ZipVoiceConfig(**TINY)
+    params = jax.tree.map(np.asarray, zv.init_zipvoice(jax.random.PRNGKey(0), cfg))
+    qparams = quantize_linear_int8(params, min_elems=256)
+
+    assert quantized_bytes(qparams) < 0.55 * quantized_bytes(params)
+    assert "weight" in qparams["embed"]  # embeddings not quantized
+    flat = []
+
+    def walk(d, p=""):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                walk(v, f"{p}.{k}")
+        else:
+            flat.append(p)
+
+    walk(qparams)
+    assert any("weight_int8" in p for p in flat)
+    assert not any("depthwise_conv" in p and "int8" in p for p in flat)
+
+    # forward comparison on the same noise
+    rng = np.random.default_rng(0)
+    cat = list(rng.integers(1, cfg.vocab_size, 12))
+    tokens = zv.pad_labels([cat], cfg.pad_id)
+    total, prompt_len, f = 64, 16, cfg.feat_dim
+    pf = np.zeros((1, total, f), np.float32)
+    pf[0, :prompt_len] = rng.standard_normal((prompt_len, f)) * 0.1
+    noise = rng.standard_normal((1, total, f)).astype(np.float32)
+
+    def run(p):
+        return np.asarray(zv.sample(
+            p, cfg, tokens, np.array([len(cat)], np.int32), pf,
+            np.array([prompt_len], np.int32), np.array([total], np.int32),
+            noise, num_step=2, guidance_scale=1.0, t_shift=0.5,
+        ))
+
+    ref = run(params)
+    quant = run(qparams)
+    assert np.isfinite(quant).all()
+    mse = float(np.mean((ref - quant) ** 2))
+    assert mse < 5e-3, mse  # int8 weight-only error budget
+
+    # dequantized tree runs the normal path and matches the quantized one
+    deq = run(dequantize_linear_int8(qparams))
+    assert float(np.mean((deq - quant) ** 2)) < 1e-9
+
+
+def test_export_cli_int8(tmp_path, monkeypatch):
+    """export_model --quantize int8 produces a loadable StableHLO sampler."""
+    import json
+    import sys
+
+    import torch
+
+    from jax import export as jexport
+
+    from zipvoice_tpu.bin import export_model
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    cfg = ZipVoiceConfig(**TINY)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(params).items()}
+    torch.save({"model": sd}, tmp_path / "model.pt")
+    raw = {k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()
+           if k not in ("vocab_size", "pad_id")}
+    (tmp_path / "model.json").write_text(json.dumps(
+        {"model": raw, "feature": {"sampling_rate": 24000, "type": "vocos",
+                                   "n_mels": 16}}))
+    token2id = {"_": 0}
+    for i in range(1, 40):
+        token2id[f"tk{i}"] = i
+    write_token_file(token2id, str(tmp_path / "tokens.txt"))
+
+    out = tmp_path / "exported"
+    monkeypatch.setattr(sys, "argv", [
+        "export_model", "--model-dir", str(tmp_path), "--out-dir", str(out),
+        "--num-step", "2", "--max-tokens", "16", "--max-frames", "64",
+        "--quantize", "int8",
+    ])
+    export_model.main()
+
+    exp = jexport.deserialize((out / "sampler_fused.stablehlo").read_bytes())
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((1, 16), np.int32)
+    tokens[0, :8] = rng.integers(1, 40, 8)
+    res = exp.call(
+        tokens, np.array([8], np.int32),
+        np.zeros((1, 64, 16), np.float32), np.array([16], np.int32),
+        np.array([64], np.int32),
+        rng.standard_normal((1, 64, 16)).astype(np.float32),
+    )
+    assert np.isfinite(np.asarray(res)).all()

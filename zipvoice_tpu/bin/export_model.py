@@ -35,6 +35,10 @@ def get_parser():
                    help="static frame-axis size (30s ~ 2812 frames)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="weight-only int8 for linear layers — the TPU "
+                        "counterpart of the reference's dynamic-int8 ONNX "
+                        "export (ref onnx_export.py:384-400)")
     return p
 
 
@@ -60,7 +64,22 @@ def main():
         "guidance_scale"]
     distill = defaults["distill"]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), assets.params)
+    if args.quantize == "int8":
+        from zipvoice_tpu.ops.quant import quantize_linear_int8, quantized_bytes
+
+        before = quantized_bytes(assets.params)
+        params = quantize_linear_int8(assets.params)
+        logging.info("int8 weight-only quantization: %.1f MB -> %.1f MB",
+                     before / 1e6, quantized_bytes(params) / 1e6)
+        # int8 weights stay int8 and scales stay f32 (cast to the compute
+        # dtype at the matmul epilogue); other float leaves follow --dtype
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a) if a.dtype == np.int8
+            else jnp.asarray(a, dtype),
+            params,
+        )
+    else:
+        params = jax.tree.map(lambda a: jnp.asarray(a, dtype), assets.params)
 
     s, t, f = args.max_tokens, args.max_frames, cfg.feat_dim
     out_dir = Path(args.out_dir)

@@ -68,9 +68,18 @@ def bias_norm(x: jax.Array, bias: jax.Array, log_scale: jax.Array) -> jax.Array:
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
-    """Dense layer; p['weight'] is (in, out) (transposed from torch at load)."""
-    w = p["weight"].astype(x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    """Dense layer; p['weight'] is (in, out) (transposed from torch at load).
+
+    Also accepts the int8 weight-only form from ops/quant.py
+    ({'weight_int8', 'weight_scale'}): the int8->compute-dtype cast fuses
+    into the matmul and the per-output-channel scale into its epilogue."""
+    if "weight_int8" in p:
+        y = jnp.dot(x, p["weight_int8"].astype(x.dtype),
+                    preferred_element_type=x.dtype)
+        y = y * p["weight_scale"].astype(x.dtype)
+    else:
+        w = p["weight"].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
     b = p.get("bias")
     if b is not None:
         y = y + b.astype(x.dtype)

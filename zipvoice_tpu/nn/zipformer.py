@@ -81,6 +81,41 @@ def set_fused_attention(enabled: Optional[bool]):
     _FUSED_ATTENTION = enabled
 
 
+# --- diagnostics tap: when set, per-module outputs are reported by name
+# (the JAX counterpart of the reference's forward hooks, ref
+# diagnostics.py:570-693).  Intended for eager (un-jitted, un-scanned) runs —
+# see utils/diagnostics.activation_diagnostics.
+_DIAG_TAP = None
+_DIAG_PREFIX: list = []
+
+
+def set_diagnostics_tap(fn) -> None:
+    """fn(name: str, value: jax.Array) or None to disable."""
+    global _DIAG_TAP
+    _DIAG_TAP = fn
+
+
+class _diag_scope:
+    """Pushes a name segment onto the tap prefix (no-op when tap unset)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _DIAG_TAP is not None:
+            _DIAG_PREFIX.append(self.name)
+
+    def __exit__(self, *exc):
+        if _DIAG_TAP is not None:
+            _DIAG_PREFIX.pop()
+        return False
+
+
+def _tap(name: str, x):
+    if _DIAG_TAP is not None:
+        _DIAG_TAP(".".join(_DIAG_PREFIX + [name]), x)
+
+
 def _fused_attention_wanted(t: int, ctx) -> bool:
     if t % 128 != 0:
         return False
@@ -569,11 +604,14 @@ def _encoder_layer(
     attn_weights = _attention_weights(
         p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask, ctx
     )
+    _tap("self_attn_weights", attn_weights)
 
     te = None if time_emb is None else time_emb[:, None, :].astype(src.dtype)
     if te is not None:
         src = src + te
-    src = src + _feedforward(p["feed_forward1"], src, ctx)
+    ff1 = _feedforward(p["feed_forward1"], src, ctx)
+    _tap("feed_forward1", ff1)
+    src = src + ff1
 
     # one shared per-sequence attention-skip mask for nonlin-attn and both
     # self-attn modules (ref zipformer.py:538-540)
@@ -600,9 +638,11 @@ def _encoder_layer(
     na = _maybe_balancer(ctx, na, 0.05, min_positive=0.3, max_positive=0.7,
                          min_abs=ctx.s["balancer_na_min_abs"] if ctx else 0.0,
                          max_abs=100.0)
+    _tap("nonlin_attention", na)
     src = src + (na if attn_keep is None else na * attn_keep)
 
     sa = _self_attention(p["self_attn1"], cfg, src, attn_weights, ctx)
+    _tap("self_attn1", sa)
     src = src + (sa if attn_keep is None else sa * attn_keep)
 
     if cfg.use_conv:
@@ -611,9 +651,11 @@ def _encoder_layer(
         cv = _conv_module(p["conv_module1"], src, key_padding_mask, ctx)
         if ctx is not None:
             cv = _maybe_seq_dropout(ctx, cv, ctx.s["conv_skip_rate"])
+        _tap("conv_module1", cv)
         src = src + cv
 
     ff2 = _feedforward(p["feed_forward2"], src, ctx)
+    _tap("feed_forward2", ff2)
     if ctx is not None:
         ff2 = _maybe_balancer(
             ctx, ff2, 0.05, min_positive=0.3, max_positive=0.7,
@@ -625,6 +667,7 @@ def _encoder_layer(
     src = _bypass(p["bypass_mid"], src_orig, src, ctx)
 
     sa = _self_attention(p["self_attn2"], cfg, src, attn_weights, ctx)
+    _tap("self_attn2", sa)
     src = src + (sa if attn_keep is None else sa * attn_keep)
 
     if cfg.use_conv:
@@ -633,9 +676,11 @@ def _encoder_layer(
         cv = _conv_module(p["conv_module2"], src, key_padding_mask, ctx)
         if ctx is not None:
             cv = _maybe_seq_dropout(ctx, cv, ctx.s["conv_skip_rate"])
+        _tap("conv_module2", cv)
         src = src + cv
 
     ff3 = _feedforward(p["feed_forward3"], src, ctx)
+    _tap("feed_forward3", ff3)
     if ctx is not None:
         ff3 = _maybe_balancer(
             ctx, ff3, 0.05, min_positive=0.3, max_positive=0.7,
@@ -655,6 +700,7 @@ def _encoder_layer(
                               min_positive=0.45, max_positive=0.55,
                               min_abs=0.1, max_abs=4.0)
         src = _maybe_whiten(ctx, src, "whiten_4x3", 0.01)
+    _tap("output", src)
     return src
 
 
@@ -728,10 +774,11 @@ def _encoder_stack(
     for i in range(num_layers):
         if ctx is not None:
             ctx._layer = i
-        out = _encoder_layer(
-            p["layers"][str(i)], cfg, out, pos_emb, stack_time_emb,
-            key_padding_mask, ctx,
-        )
+        with _diag_scope(f"layer{i}"):
+            out = _encoder_layer(
+                p["layers"][str(i)], cfg, out, pos_emb, stack_time_emb,
+                key_padding_mask, ctx,
+            )
     return out
 
 
@@ -799,11 +846,14 @@ def tts_zipformer_forward(
 
     Returns: (B, T, out_dim).
     """
-    if "weight" in p["in_proj"]:
+    def _in_dim(lin):  # works for both plain and int8-quantized linears
+        return (lin["weight"] if "weight" in lin else lin["weight_int8"]).shape[0]
+
+    if "weight" in p["in_proj"] or "weight_int8" in p["in_proj"]:
         in_proj, out_proj = p["in_proj"], p["out_proj"]
     else:
         # auto-dispatch by input width like the reference (two_stream.py:238-242)
-        if x.shape[-1] != p["in_proj"][str(stream)]["weight"].shape[0]:
+        if x.shape[-1] != _in_dim(p["in_proj"][str(stream)]):
             stream = 1 - stream
         in_proj, out_proj = p["in_proj"][str(stream)], p["out_proj"][str(stream)]
     h = linear(in_proj, x)

@@ -1,0 +1,83 @@
+"""Weight-only int8 quantization for deployment.
+
+TPU-native counterpart of the reference's dynamic-int8 ONNX export
+(ref zipvoice/bin/onnx_export.py:384-400: quantize_dynamic over MatMul):
+every linear weight is stored as int8 with a per-output-channel float scale;
+at runtime ``nn.functional.linear`` computes ``(x @ int8_w.astype(bf16)) *
+scale`` — the cast fuses into the matmul and the scale into its epilogue, so
+weight HBM traffic halves vs bf16 (the bandwidth that bounds small-batch
+inference) while accumulation stays in the compute dtype.
+
+Only 2-D weights consumed by ``linear`` are quantized; embedding tables
+(index lookups) and depthwise-conv kernels keep full precision, matching
+the reference's MatMul-only quantization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+# param-tree keys whose "weight" is not a linear matmul operand
+EXCLUDE_KEYS = ("embed", "depthwise_conv")
+
+
+def quantize_linear_int8(
+    params: Dict,
+    min_elems: int = 4096,
+    exclude_keys: Sequence[str] = EXCLUDE_KEYS,
+) -> Dict:
+    """Replace each eligible {"weight": (in, out), ...} with
+    {"weight_int8": int8, "weight_scale": (out,) float32, ...}.
+
+    Symmetric per-output-channel quantization: scale = max|w_col| / 127.
+    """
+
+    def walk(d, path):
+        if not isinstance(d, dict):
+            return d
+        if (
+            "weight" in d
+            and getattr(d["weight"], "ndim", 0) == 2
+            and np.size(d["weight"]) >= min_elems
+            and not any(k in path for k in exclude_keys)
+        ):
+            w = np.asarray(d["weight"], np.float32)
+            scale = np.maximum(np.max(np.abs(w), axis=0) / 127.0, 1e-12)
+            q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            out = {k: walk(v, path + (k,)) for k, v in d.items()
+                   if k != "weight"}
+            out["weight_int8"] = q
+            out["weight_scale"] = scale.astype(np.float32)
+            return out
+        return {k: walk(v, path + (k,)) for k, v in d.items()}
+
+    return walk(params, ())
+
+
+def dequantize_linear_int8(params: Dict) -> Dict:
+    """Inverse of quantize_linear_int8 (up to rounding): restores "weight"."""
+
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        if "weight_int8" in d:
+            out = {k: walk(v) for k, v in d.items()
+                   if k not in ("weight_int8", "weight_scale")}
+            out["weight"] = (
+                np.asarray(d["weight_int8"], np.float32)
+                * np.asarray(d["weight_scale"], np.float32)
+            )
+            return out
+        return {k: walk(v) for k, v in d.items()}
+
+    return walk(params)
+
+
+def quantized_bytes(params: Dict) -> int:
+    """Total parameter bytes of a (possibly quantized) tree."""
+    import jax
+
+    return sum(np.size(a) * np.dtype(getattr(a, "dtype", np.float32)).itemsize
+               for a in jax.tree.leaves(params))
