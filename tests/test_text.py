@@ -143,3 +143,110 @@ def test_emilia_tag_tokens(tmp_path):
     tokens = tok.texts_to_tokens(["[S1][S2]"])
     assert tokens == [["[S1]", "[S2]"]]
     assert tok.texts_to_token_ids(["[S1][S2]"]) == [[1, 2]]
+
+
+def test_vendored_espeak_map_contract():
+    """The piper espeak phoneme-id block the released tokens.txt is built
+    from (ref prepare_token_file_emilia.py:72-75): dense ids, the documented
+    anchor tokens at their known ids."""
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+
+    m = VENDORED_ESPEAK_MAP
+    assert sorted(m.values()) == list(range(len(m)))
+    for tok, idx in [("_", 0), ("^", 1), ("$", 2), (" ", 3), ("!", 4),
+                     (",", 8), (".", 10), ("?", 13), ("a", 14), ("z", 38),
+                     ("ə", 59), ("ɡ", 66), ("ˈ", 120), ("ˌ", 121),
+                     ("ː", 122), ("ᵻ", 128), ("ⱱ", 129)]:
+        assert m[tok] == idx, (tok, m[tok], idx)
+    assert "g" not in m  # espeak emits IPA ɡ, piper's map has no latin g
+
+
+def test_vendored_espeak_map_matches_piper():
+    piper = pytest.importorskip("piper_phonemize")
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+
+    real = {tok: ids[0] for tok, ids in piper.get_espeak_map().items()}
+    assert real == VENDORED_ESPEAK_MAP
+
+
+def test_shape_espeak_clauses_piper_semantics():
+    """The espeak-ng subprocess fallback reshapes raw --ipa output into the
+    piper_phonemize token stream: per-char tokens, single-space word
+    separators, clause punctuation as tokens, artifacts stripped
+    (VERDICT next #6)."""
+    from zipvoice_tpu.text.tokenizer import shape_espeak_clauses
+
+    # "hello, world." -> clauses ["həlˈoʊ", " wˈɜːld"] + puncts [",", "."]
+    toks = shape_espeak_clauses(["həlˈoʊ", "wˈɜːld"], [",", "."])
+    assert toks == ["h", "ə", "l", "ˈ", "o", "ʊ", ",", " ",
+                    "w", "ˈ", "ɜ", "ː", "l", "d", "."]
+    # newlines inside espeak output act as word separators
+    assert shape_espeak_clauses(["a\nb"], []) == ["a", " ", "b"]
+    # multi-word clause keeps single spaces; stress/length marks are chars
+    assert shape_espeak_clauses(["ˌæ  bˈiː"], ["?"]) == [
+        "ˌ", "æ", " ", "b", "ˈ", "i", "ː", "?"]
+    # language-switch markers and tie bars never reach the stream
+    assert shape_espeak_clauses(["(en)tʃ͡a"], []) == ["t", "ʃ", "a"]
+    # ellipsis maps to the period token (piper has no … token)
+    assert shape_espeak_clauses(["ə"], ["…"]) == ["ə", "."]
+    # empty clauses collapse
+    assert shape_espeak_clauses(["", "b"], [",", ""]) == [",", " ", "b"]
+
+
+def test_espeak_subprocess_fallback_mocked(monkeypatch):
+    """Drive the full fallback with a mocked espeak binary: the resulting
+    token ids under the vendored map equal piper's per-char contract."""
+    import subprocess as sp
+
+    import zipvoice_tpu.text.tokenizer as tk
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+
+    fake_ipa = {"hello": "həlˈoʊ", "world": "wˈɜːld"}
+
+    def fake_run(cmd, capture_output, text, check):
+        word = cmd[-1]
+        class R:
+            stdout = fake_ipa[word] + "\n"
+        return R()
+
+    monkeypatch.setattr(tk.shutil, "which", lambda name: "/usr/bin/espeak-ng")
+    monkeypatch.setattr(tk.subprocess, "run", fake_run)
+    # force the subprocess path even if piper were installed
+    monkeypatch.setitem(__import__("sys").modules, "piper_phonemize", None)
+
+    toks = tk.espeak_phonemize("hello, world.", "en-us")
+    assert toks == ["h", "ə", "l", "ˈ", "o", "ʊ", ",", " ",
+                    "w", "ˈ", "ɜ", "ː", "l", "d", "."]
+    ids = [VENDORED_ESPEAK_MAP[t] for t in toks]
+    assert ids[6] == 8 and ids[7] == 3 and ids[-1] == 10  # , space .
+
+
+def test_build_emilia_tokens_layout(reference_path, tmp_path):
+    """Emilia tokens.txt reproduction: espeak block verbatim + sorted pinyin
+    initial/final tokens from the reference's valid-pinyin list (ref
+    prepare_token_file_emilia.py)."""
+    from zipvoice_tpu.bin.make_tokens import build_emilia_tokens
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+    from zipvoice_tpu.text.tokenizer import EmiliaTokenizer, write_token_file
+
+    pinyin = reference_path / "egs/zipvoice/local/pinyin.txt"
+    token2id = build_emilia_tokens(str(pinyin))
+    # espeak block preserved at its exact ids
+    for tok, idx in VENDORED_ESPEAK_MAP.items():
+        assert token2id[tok] == idx
+    # pinyin block: initials end with 0, finals end with tone digit; dense
+    n = len(token2id)
+    assert sorted(token2id.values()) == list(range(n))
+    assert "zh0" in token2id and "ong1" in token2id and "m0" in token2id
+    assert "a5" in token2id  # neutral tone from the bare syllables
+    pinyin_toks = [t for t, i in token2id.items()
+                   if i >= len(VENDORED_ESPEAK_MAP)]
+    assert all(t[-1] in "012345" for t in pinyin_toks)
+
+    # the tokenizer maps a pinyin escape through this vocabulary
+    path = tmp_path / "tokens.txt"
+    write_token_file(token2id, str(path))
+    tok = EmiliaTokenizer(str(path))
+    ids = tok.texts_to_token_ids(["<zhong1><guo2>"])[0]
+    assert ids == [token2id["zh0"], token2id["ong1"],
+                   token2id["g0"], token2id["uo2"]]

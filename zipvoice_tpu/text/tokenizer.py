@@ -32,8 +32,66 @@ class G2PUnavailableError(RuntimeError):
     pass
 
 
+# piper keeps clause punctuation as tokens (see text/espeak_map.py ids 4-13)
+_CLAUSE_PUNCT = ".,;:!?"
+_CLAUSE_SPLIT = re.compile(r"([.,;:!?…])")
+_LANG_SWITCH = re.compile(r"\([a-z]{2,3}(?:-[a-z0-9-]+)?\)")  # (en)/(zh)/…
+
+
+def shape_espeak_clauses(clause_ipas: List[str], puncts: List[str]) -> List[str]:
+    """Raw espeak IPA per clause + trailing punctuation -> the
+    piper_phonemize token stream: one token per unicode char, a single
+    space token between words, the clause punctuation appended directly
+    after its clause, a space before the next clause (ref tokenizer.py:
+    158-165, 321-329 consume exactly this shape).
+
+    Also strips espeak artifacts piper never emits: language-switch
+    markers, tie bars (U+0361), ZWJ, and newlines-as-clause-breaks.
+    """
+    tokens: List[str] = []
+    n = max(len(clause_ipas), len(puncts))
+    for i in range(n):
+        ipa = clause_ipas[i] if i < len(clause_ipas) else ""
+        punct = puncts[i] if i < len(puncts) else ""
+        ipa = _LANG_SWITCH.sub("", ipa)
+        ipa = ipa.replace("͡", "").replace("‍", "")
+        ipa = " ".join(ipa.split())  # newlines + runs of spaces -> one space
+        if not ipa and not punct:
+            continue
+        if tokens and ipa:
+            tokens.append(" ")
+        tokens.extend(list(ipa))
+        if punct:
+            # piper's map has no ellipsis token; espeak treats it as a period
+            tokens.append("." if punct == "…" else punct)
+    return tokens
+
+
+def _espeak_binary_phonemize(exe: str, text: str, lang: str) -> List[str]:
+    """Subprocess fallback shaped to piper_phonemize token semantics."""
+    parts = _CLAUSE_SPLIT.split(text)
+    clauses = parts[::2]
+    puncts = parts[1::2]
+    ipas = []
+    for clause in clauses:
+        if not clause.strip():
+            ipas.append("")
+            continue
+        res = subprocess.run(
+            [exe, "-q", "--ipa", "-v", lang, "--", clause.strip()],
+            capture_output=True, text=True, check=True,
+        )
+        ipas.append(res.stdout.strip())
+    return shape_espeak_clauses(ipas, puncts)
+
+
 def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
-    """IPA phonemization via piper_phonemize or the espeak-ng binary."""
+    """IPA phonemization via piper_phonemize or the espeak-ng binary.
+
+    Both backends run the same espeak engine; the subprocess path reshapes
+    espeak's plain --ipa output into piper's per-char token stream
+    (punctuation/space tokens included) so token ids match either way.
+    """
     try:
         from piper_phonemize import phonemize_espeak  # type: ignore
 
@@ -43,15 +101,7 @@ def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
         pass
     exe = shutil.which("espeak-ng") or shutil.which("espeak")
     if exe is not None:
-        res = subprocess.run(
-            [exe, "-q", "--ipa", "-v", lang, "--", text],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        ipa = res.stdout.strip().replace("\n", " ")
-        # piper_phonemize yields one token per unicode char, spaces included
-        return list(ipa)
+        return _espeak_binary_phonemize(exe, text, lang)
     raise G2PUnavailableError(
         "No espeak G2P backend: install piper_phonemize or espeak-ng"
     )
