@@ -162,6 +162,7 @@ def make_train_step(
     def run(params, opt_state, batch, rng, step_idx, epoch, schedules=None):
         return jitted(params, opt_state, batch, rng, step_idx, epoch, schedules)
 
+    run.jitted = jitted  # exposed for AOT lowering / HLO inspection
     return run
 
 
