@@ -1,0 +1,134 @@
+"""Golden-acceptance harness exercised offline on tiny random-init model dirs
+for all four variants — the same code path that certifies the real released
+checkpoints (VERDICT round-1 item #1; run via bin/golden_acceptance when
+weights are available)."""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+
+from conftest import requires_reference
+
+from zipvoice_tpu.config import ZipVoiceConfig
+
+TINY = dict(
+    fm_decoder_downsampling_factor=(1, 2, 1),
+    fm_decoder_num_layers=(1, 1, 1),
+    fm_decoder_cnn_module_kernel=(9, 7, 9),
+    fm_decoder_feedforward_dim=128,
+    fm_decoder_num_heads=2,
+    fm_decoder_dim=64,
+    text_encoder_num_layers=1,
+    text_encoder_feedforward_dim=64,
+    text_encoder_cnn_module_kernel=5,
+    text_encoder_num_heads=2,
+    text_encoder_dim=48,
+    time_embed_dim=32,
+    text_embed_dim=48,
+    query_head_dim=8,
+    value_head_dim=8,
+    pos_head_dim=4,
+    pos_dim=48,
+    feat_dim=20,
+)
+
+SPK_A, SPK_B = 28, 29
+
+
+def _write_model_dir(tmp_path, name: str):
+    import jax
+
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.models.dialog import (
+        init_zipvoice_dialog,
+        init_zipvoice_dialog_stereo,
+    )
+    from zipvoice_tpu.models.distill import init_zipvoice_distill
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    d = tmp_path / name
+    d.mkdir()
+    tokens = {"_": 0, " ": 1}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        tokens[ch] = i + 2
+    tokens["[S1]"] = SPK_A
+    tokens["[S2]"] = SPK_B
+    write_token_file(tokens, str(d / "tokens.txt"))
+    model_json = {
+        "model": {k: list(v) if isinstance(v, tuple) else v
+                  for k, v in TINY.items()},
+        "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 20},
+    }
+    (d / "model.json").write_text(json.dumps(model_json))
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=len(tokens), pad_id=0)
+    init = {
+        "zipvoice": init_zipvoice,
+        "zipvoice_distill": init_zipvoice_distill,
+        "zipvoice_dialog": init_zipvoice_dialog,
+        "zipvoice_dialog_stereo": init_zipvoice_dialog_stereo,
+    }[name]
+    params = init(jax.random.PRNGKey(0), cfg)
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in params_to_state_dict(params).items()
+    }
+    torch.save({"model": sd}, d / "model.pt")
+    return d
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "name",
+    ["zipvoice", "zipvoice_distill", "zipvoice_dialog",
+     "zipvoice_dialog_stereo"],
+)
+def test_golden_acceptance_variant(tmp_path, name):
+    from zipvoice_tpu.eval.golden import golden_acceptance
+
+    d = _write_model_dir(tmp_path, name)
+    rep = golden_acceptance(
+        name, str(d), seconds=2.0, spk_a_id=SPK_A, spk_b_id=SPK_B
+    )
+    by_name = {c["check"]: c for c in rep["checks"]}
+    assert by_name["tree"]["status"] == "pass", by_name["tree"]
+    assert by_name["tokenizer"]["status"] == "pass", by_name["tokenizer"]
+    parity = by_name["parity"]
+    assert parity["status"] == "pass", parity
+    # the f32 budget is the BASELINE.md acceptance number
+    assert parity["sub"]["float32"]["mel_mse"] < 1e-3
+    assert rep["status"] == "pass"
+
+
+def test_tree_check_catches_mismatch(tmp_path):
+    """A checkpoint saved for the wrong variant must fail the tree check."""
+    from zipvoice_tpu.eval.golden import check_tree
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    rep = check_tree("zipvoice_dialog", str(d))
+    assert rep["status"] == "fail"
+    assert any("spk_embed" in k for k in rep["missing"])
+
+
+def test_golden_cli(tmp_path, monkeypatch):
+    """bin/golden_acceptance writes GOLDEN.json and exits by status."""
+    import sys
+
+    from zipvoice_tpu.bin import golden_acceptance as cli
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    out = tmp_path / "GOLDEN.json"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["golden_acceptance", "--models", "zipvoice",
+         "--model-dirs", str(d), "--seconds", "2.0",
+         "--output", str(out)],
+    )
+    with pytest.raises(SystemExit) as e:
+        cli.main()
+    assert e.value.code == 0
+    rep = json.loads(out.read_text())
+    assert rep["overall"] == "pass"

@@ -212,6 +212,8 @@ def sample_dialog(
     guidance_scale: float = 1.5,
     t_shift: float = 0.5,
     stream: int = 1,
+    spk_a_id: int = SPK_A_ID_DEFAULT,
+    spk_b_id: int = SPK_B_ID_DEFAULT,
 ) -> jax.Array:
     """Dialog sampling == base sampling with the speaker-aware text embed
     (ref: ZipVoiceDialog inherits ZipVoice.sample).  For the stereo model,
@@ -219,7 +221,8 @@ def sample_dialog(
     features and noise)."""
     num_frames = prompt_features.shape[1]
     embed = forward_text_embed(
-        params, cfg, tokens_padded, tokens_lens, dtype=prompt_features.dtype
+        params, cfg, tokens_padded, tokens_lens, dtype=prompt_features.dtype,
+        spk_a_id=spk_a_id, spk_b_id=spk_b_id,
     )
     text_condition, padding_mask = zv.forward_text_condition(
         embed, tokens_lens, features_lens, num_frames
