@@ -8,6 +8,8 @@ example comes from the reference docstring (tokenizer.py:399-401).
 import numpy as np
 import pytest
 
+from conftest import REFERENCE
+
 from zipvoice_tpu.text.normalizer import ChineseTextNormalizer, EnglishTextNormalizer
 from zipvoice_tpu.text.numbers import (
     int_to_chinese,
@@ -250,3 +252,77 @@ def test_build_emilia_tokens_layout(reference_path, tmp_path):
     ids = tok.texts_to_token_ids(["<zhong1><guo2>"])[0]
     assert ids == [token2id["zh0"], token2id["ong1"],
                    token2id["g0"], token2id["uo2"]]
+
+
+# --------------------------------------------------------------------------
+# Vendored hanzi->pinyin fallback (text/pinyin_data.py)
+# --------------------------------------------------------------------------
+
+
+def test_pinyin_fallback_readings_and_sandhi():
+    """Offline ZH G2P: common readings, 不/一/third-tone sandhi, neutral
+    tones — matching pypinyin lazy_pinyin(TONE3, tone_sandhi=True,
+    neutral_tone_with_five=True) semantics (ref tokenizer.py:298-307)."""
+    from zipvoice_tpu.text.tokenizer import hanzi_to_pinyin
+
+    assert hanzi_to_pinyin("你好世界") == ["ni2", "hao3", "shi4", "jie4"]
+    assert hanzi_to_pinyin("不是") == ["bu2", "shi4"]
+    assert hanzi_to_pinyin("一个") == ["yi2", "ge4"]
+    assert hanzi_to_pinyin("一百") == ["yi4", "bai3"]
+    assert hanzi_to_pinyin("东西")[-1] == "xi5"  # neutral tone word
+    assert hanzi_to_pinyin("孩子")[-1] == "zi5"  # suffix rule
+    assert hanzi_to_pinyin("电子")[-1] == "zi3"  # technical exception
+    assert hanzi_to_pinyin("银行") == ["yin2", "hang2"]  # polyphone word
+    assert hanzi_to_pinyin("重新") == ["chong2", "xin1"]
+
+
+def test_pinyin_fallback_table_well_formed():
+    """Every vendored reading must be a syllable the emilia tokens.txt can
+    represent: initial+final split succeeds and the tone digit is 1-5."""
+    from zipvoice_tpu.text.pinyin_data import CHAR_PINYIN, WORD_PINYIN
+    from zipvoice_tpu.text.tokenizer import is_valid_tone3_pinyin, split_pinyin
+
+    assert len(CHAR_PINYIN) >= 1500
+    for r in list(CHAR_PINYIN.values()) + [
+        r for rs in WORD_PINYIN.values() for r in rs
+    ]:
+        assert is_valid_tone3_pinyin(r), r
+        parts = split_pinyin(r)
+        assert 1 <= len(parts) <= 2 and parts[-1][-1] in "12345", (r, parts)
+
+
+@pytest.mark.skipif(
+    not (REFERENCE / "egs/zipvoice/local/pinyin.txt").exists(),
+    reason="reference pinyin inventory not mounted",
+)
+def test_pinyin_fallback_syllables_in_reference_inventory():
+    """All vendored syllables exist in the reference's valid-pinyin list, so
+    every fallback token is inside the released emilia vocabulary."""
+    from zipvoice_tpu.text.pinyin_data import CHAR_PINYIN, WORD_PINYIN
+
+    syls = set()
+    for line in open(REFERENCE / "egs/zipvoice/local/pinyin.txt"):
+        t = line.strip()
+        syls.add(t[:-1] if t and t[-1].isdigit() else t)
+    for r in list(CHAR_PINYIN.values()) + [
+        r for rs in WORD_PINYIN.values() for r in rs
+    ]:
+        assert r[:-1] in syls, r
+
+
+def test_zh_tokenization_offline(tmp_path):
+    """EmiliaTokenizer tokenizes hanzi without pypinyin installed (vendored
+    fallback) — end-to-end through the real token-id mapping."""
+    from zipvoice_tpu.bin.make_tokens import build_emilia_tokens
+    from zipvoice_tpu.text.tokenizer import EmiliaTokenizer, write_token_file
+
+    pinyin = REFERENCE / "egs/zipvoice/local/pinyin.txt"
+    if not pinyin.exists():
+        pytest.skip("reference pinyin inventory not mounted")
+    token2id = build_emilia_tokens(str(pinyin))
+    path = tmp_path / "tokens.txt"
+    write_token_file(token2id, str(path))
+    tok = EmiliaTokenizer(str(path))
+    ids = tok.texts_to_token_ids(["你好世界。"])[0]
+    expect = ["n0", "i2", "h0", "ao3", "sh0", "i4", "j0", "ie4", "."]
+    assert ids == [token2id[t] for t in expect]

@@ -108,16 +108,27 @@ def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
 
 
 def hanzi_to_pinyin(text: str) -> List[str]:
-    """hanzi -> tone3 pinyin list via jieba+pypinyin (ref tokenizer.py:298-307)."""
+    """hanzi -> tone3 pinyin list (ref tokenizer.py:298-307).
+
+    Prefers jieba+pypinyin (the reference's stack); falls back to the
+    vendored reading table in text/pinyin_data.py so ZH works offline
+    (common-reading approximation with word overrides + tone sandhi)."""
     try:
         import jieba
-        from pypinyin import Style, lazy_pinyin  # type: ignore
     except ImportError as ex:
-        raise G2PUnavailableError(f"pypinyin/jieba unavailable: {ex}") from ex
+        raise G2PUnavailableError(f"jieba unavailable: {ex}") from ex
     segs = list(jieba.cut(text))
-    return lazy_pinyin(
-        segs, style=Style.TONE3, tone_sandhi=True, neutral_tone_with_five=True
-    )
+    try:
+        from pypinyin import Style, lazy_pinyin  # type: ignore
+
+        return lazy_pinyin(
+            segs, style=Style.TONE3, tone_sandhi=True,
+            neutral_tone_with_five=True,
+        )
+    except ImportError:
+        from zipvoice_tpu.text.pinyin_data import lazy_pinyin_fallback
+
+        return lazy_pinyin_fallback(segs)
 
 
 # --- rule-based pinyin initial/final split (pypinyin strict=False semantics) -

@@ -75,7 +75,8 @@ def make_distill_train_step(
         return student_params, teacher_params, opt_state, metrics
 
     if mesh is None:
-        return jax.jit(train_step)
+        # match the mesh path: student/teacher/opt buffers rewritten in place
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)

@@ -125,7 +125,10 @@ def make_train_step(
         return params, opt_state, metrics
 
     if mesh is None:
-        return jax.jit(train_step, static_argnames=())
+        # donate params/opt state exactly like the mesh path: the optimizer
+        # rewrites every buffer anyway, so XLA updates in place instead of
+        # holding a second copy of ~4x model size in HBM (CPU ignores this)
+        return jax.jit(train_step, donate_argnums=(0, 1))
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)
