@@ -73,6 +73,45 @@ def _train_throughput(cfg) -> float:
     return audio_seconds / step_time
 
 
+def _batched_throughput(cfg, params, batch: int = 8) -> float:
+    """Serving throughput: B concurrent 10s-utterance streams through the
+    16-step CFG sampler in ONE program (the pipeline's synthesize_batch
+    path).  Returns aggregate seconds-of-audio per wall second."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.models import zipvoice as zv
+
+    rng = np.random.default_rng(0)
+    t = 1024  # frame bucket; all stack lengths stay %128 -> fused attention
+    tp = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, 160)), jnp.int32)
+    tl = jnp.asarray([130] * batch, jnp.int32)
+    pf = jnp.asarray(
+        rng.standard_normal((batch, t, cfg.feat_dim)) * 0.1, jnp.bfloat16
+    )
+    pl = jnp.asarray([281] * batch, jnp.int32)
+    fl = jnp.asarray([938] * batch, jnp.int32)
+    noise = jnp.asarray(
+        rng.standard_normal((batch, t, cfg.feat_dim)), jnp.bfloat16
+    )
+
+    fn = jax.jit(
+        lambda p, a, b, c, d, e, f: zv.sample(
+            p, cfg, a, b, c, d, e, f, num_step=NUM_STEP,
+            guidance_scale=GUIDANCE, t_shift=0.5,
+        )
+    )
+    out = fn(params, tp, tl, pf, pl, fl, noise)
+    float(np.asarray(out[0, 0, 0], np.float32))
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        out = fn(params, tp, tl, pf, pl, fl, noise)
+        float(np.asarray(out[0, 0, 0], np.float32))
+        times.append(time.monotonic() - t0)
+    return batch * SECONDS_OF_AUDIO / float(np.min(times))
+
+
 def _bf16_fidelity(cfg, feat_cfg) -> float:
     """Mel MSE of the bf16 jitted sampler vs the f32 sampler on the SAME
     weights and noise — the fidelity cost of the deployment dtype on this
@@ -162,12 +201,20 @@ def main():
         np.float32
     )
 
+    # prompt features live on device in the serving flow (prompt_features()
+    # extracts them there); mirror that so the bench measures the model, not
+    # a redundant host->device prompt upload per request
+    prompt_feats_dev = jnp.asarray(prompt_feats, dtype)
+
     def run():
         t0 = time.monotonic()
         mel, gen_len = pipe.sample_features(
-            tokens, prompt_tokens, prompt_feats, num_step=NUM_STEP,
+            tokens, prompt_tokens, prompt_feats_dev, num_step=NUM_STEP,
             guidance_scale=GUIDANCE, t_shift=0.5,
         )
+        # sample_features is sync-free; force a 1-element read so the
+        # model/vocoder split stays meaningful (costs one tunnel roundtrip)
+        float(np.asarray(mel[0, 0], np.float32))
         t1 = time.monotonic()
         wav = pipe.vocode(mel, gen_len)
         t2 = time.monotonic()
@@ -175,9 +222,10 @@ def main():
 
     # warmup/compile
     run()
-    # timed runs
+    # timed runs (min-of-8: device compute is deterministic, spread is
+    # remote-tunnel transfer latency)
     times_model, times_voc, wav_secs = [], [], None
-    for _ in range(5):
+    for _ in range(8):
         wav, tm, tv = run()
         times_model.append(tm)
         times_voc.append(tv)
@@ -189,6 +237,8 @@ def main():
     tv = float(np.min(times_voc))
     rtf = (tm + tv) / wav_secs
 
+    bparams = jax.tree.map(lambda a: a.astype(dtype), params)
+    batched_tp = _batched_throughput(cfg, bparams, batch=8)
     bf16_mse = _bf16_fidelity(cfg, feat_cfg)
     train_tp = _train_throughput(cfg)
     result = {
@@ -200,6 +250,7 @@ def main():
             "rtf_model": round(tm / wav_secs, 5),
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
+            "serving_b8_audio_sec_per_sec": round(batched_tp, 1),
             "train_sec_audio_per_sec_per_chip": round(train_tp, 2),
             "bf16_mel_mse_vs_f32": float(f"{bf16_mse:.3e}"),
             "device": str(jax.devices()[0]),

@@ -145,21 +145,21 @@ def test_training_attention_fused_matches_xla_path(monkeypatch, gates_on):
             self.next_key()  # consume, like the real gate
             return jnp.asarray(gates_on)
 
-    real = att.rel_attention_probs
+    real = att.rel_attention_probs_any
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return real(*a, **kw)
 
     def loss(p, x, fused):
-        monkeypatch.setattr(att, "rel_attention_probs", interp)
+        monkeypatch.setattr(att, "rel_attention_probs_any", interp)
         zf.set_fused_attention(fused)
         try:
             ctx = FixedGateCtx(jax.random.PRNGKey(7), schedules)
             w = zf._attention_weights(p, cfg, x, pos_emb, mask, ctx)
         finally:
             zf.set_fused_attention(None)
-            monkeypatch.setattr(att, "rel_attention_probs", real)
+            monkeypatch.setattr(att, "rel_attention_probs_any", real)
         return jnp.sum(jnp.sin(w * 3.0))
 
     (l_f, g_f) = jax.value_and_grad(loss, argnums=(0, 1))(p, x, True)
@@ -200,3 +200,43 @@ def test_fused_attention_bf16_inputs():
     for a in grads:
         assert a.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+@pytest.mark.parametrize("t", [192, 130])
+def test_fused_attention_padded_matches_xla(t):
+    """Unaligned t runs the pad-and-slice wrapper: forward AND gradients
+    must match the XLA path exactly (padded keys masked, padded rows and
+    their cotangents discarded by the pad VJP)."""
+    from zipvoice_tpu.ops.attention import rel_attention_probs_any
+
+    b, h, qd, pd = 2, 2, 8, 4
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t, t - 37])[:, None])
+
+    ref = np.asarray(_xla_path(q, k, pq, pe, mask))
+    out = np.asarray(
+        rel_attention_probs_any(q, k, pq, pe, mask, out_dtype=jnp.float32,
+                                interpret=True)
+    )
+    assert np.abs(ref - out).max() < 1e-5
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+
+    w = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+
+    def loss_fused(q, k, pq, pe):
+        return jnp.sum(
+            rel_attention_probs_any(q, k, pq, pe, mask,
+                                    out_dtype=jnp.float32, interpret=True) * w
+        )
+
+    def loss_xla(q, k, pq, pe):
+        return jnp.sum(_xla_path(q, k, pq, pe, mask) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)

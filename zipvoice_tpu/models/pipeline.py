@@ -308,7 +308,7 @@ class ZipVoicePipeline:
             noise = noise[:, :t_pad]
 
         run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
-        mel, gen_lens = run(
+        mel, _ = run(
             self.params,
             jnp.asarray(tokens_padded),
             jnp.asarray(tokens_lens),
@@ -317,9 +317,9 @@ class ZipVoicePipeline:
             jnp.asarray([total_frames], jnp.int32),
             jnp.asarray(noise, self.dtype),
         )
-        # mel stays on device (the vocoder consumes it there); only the tiny
-        # gen_lens scalar syncs to host.
-        return mel[0], int(gen_lens[0])
+        # mel stays on device (the vocoder consumes it there), and gen_len is
+        # host arithmetic — the request runs sync-free until the wav readback
+        return mel[0], total_frames - prompt_len_frames
 
     @functools.lru_cache(maxsize=8)
     def _vocode_i16_fn(self):

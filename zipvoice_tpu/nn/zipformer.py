@@ -117,7 +117,10 @@ def _tap(name: str, x):
 
 
 def _fused_attention_wanted(t: int, ctx) -> bool:
-    if t % 128 != 0:
+    # below one 128-row tile the pad waste beats the fusion win (and the
+    # text-encoder stack at ~32 tokens is cheap either way); any t >= 128
+    # runs the kernel via the pad-and-slice wrapper in ops/attention.py
+    if t < 128:
         return False
     if _FUSED_ATTENTION is not None:
         return _FUSED_ATTENTION
@@ -420,12 +423,12 @@ def _attention_weights(
     pe = linear(p["linear_pos"], pos_emb.astype(x.dtype)).reshape(2 * t - 1, h, pd)
 
     if _fused_attention_wanted(t, ctx):
-        from zipvoice_tpu.ops.attention import rel_attention_probs
+        from zipvoice_tpu.ops.attention import rel_attention_probs_any
 
         # probs in compute dtype: every consumer casts to x.dtype anyway
         # (softmax itself stays f32 inside the kernel)
         if ctx is None:
-            return rel_attention_probs(
+            return rel_attention_probs_any(
                 q, k, pq, pe, key_padding_mask, out_dtype=x.dtype
             )
         # training regularizers, same RNG draws/order as the XLA path below:
@@ -435,7 +438,7 @@ def _attention_weights(
         use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
         pq = pq * jnp.where(use_pos, 1.0, 0.0).astype(pq.dtype)
         pen = jnp.where(ctx.gate(0.1), 1.0e-04, 0.0).astype(jnp.float32)
-        return rel_attention_probs(
+        return rel_attention_probs_any(
             q, k, pq, pe, key_padding_mask, out_dtype=x.dtype,
             score_penalty=pen, penalty_limit=25.0,
         )

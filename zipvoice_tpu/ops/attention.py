@@ -272,6 +272,54 @@ def rel_attention_probs(
                          float(penalty_limit), out_dtype, interpret)
 
 
+def rel_attention_probs_any(
+    q: jax.Array,
+    k: jax.Array,
+    pq: jax.Array,
+    pe: jax.Array,
+    key_padding_mask: Optional[jax.Array],
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+    score_penalty: Optional[jax.Array] = None,
+    penalty_limit: float = 25.0,
+) -> jax.Array:
+    """rel_attention_probs for ANY t: pads time to the next TILE multiple,
+    masks the padded keys, and slices the (t, t) block back out.
+
+    Correctness: padded key columns carry the -1000 additive bias, so real
+    rows normalize exactly as the unpadded softmax (exp(-1000) underflows);
+    padded query rows are sliced away, and their cotangents are discarded by
+    the pad VJP.  Padded pe rows are zero, so the pre-mask scores against
+    padded keys are 0 — below any penalty limit, contributing nothing to the
+    failsafe gradient.  This keeps the fused kernel live for the downsampled
+    interior stacks (t/2, t/4) whose lengths are rarely TILE-aligned."""
+    t = q.shape[1]
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    if t_pad == t:
+        return rel_attention_probs(
+            q, k, pq, pe, key_padding_mask, out_dtype, interpret,
+            score_penalty, penalty_limit,
+        )
+    d = t_pad - t
+    b = q.shape[0]
+    qp = jnp.pad(q, ((0, 0), (0, d), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, d), (0, 0), (0, 0)))
+    pqp = jnp.pad(pq, ((0, 0), (0, d), (0, 0), (0, 0)))
+    # pe row n encodes offset n-(t-1); re-center for t_pad by padding d rows
+    # of zeros on both sides: (2t-1) + 2d = 2*t_pad - 1
+    pep = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((b, t), bool)
+    maskp = jnp.pad(
+        key_padding_mask, ((0, 0), (0, d)), constant_values=True
+    )
+    probs = rel_attention_probs(
+        qp, kp, pqp, pep, maskp, out_dtype, interpret,
+        score_penalty, penalty_limit,
+    )
+    return probs[:, :, :t, :t]
+
+
 def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
     b, t, h, qd = q.shape
     pd = pq.shape[-1]
