@@ -326,3 +326,118 @@ def test_zh_tokenization_offline(tmp_path):
     ids = tok.texts_to_token_ids(["你好世界。"])[0]
     expect = ["n0", "i2", "h0", "ao3", "sh0", "i4", "j0", "ie4", "."]
     assert ids == [token2id[t] for t in expect]
+
+
+# ---------------------------------------------------------------------------
+# vendored sentencepiece reader (text/spm.py)
+# ---------------------------------------------------------------------------
+
+def _tiny_unigram_proto():
+    from zipvoice_tpu.text import spm
+
+    pieces = [
+        ("<unk>", 0.0, spm.UNKNOWN),
+        ("<s>", 0.0, spm.CONTROL),
+        ("</s>", 0.0, spm.CONTROL),
+        ("<pad>", 0.0, spm.CONTROL),
+        ("▁", -3.0, spm.NORMAL),
+        ("▁HELLO", -1.0, spm.NORMAL),
+        ("▁WORLD", -1.2, spm.NORMAL),
+        ("▁HELL", -2.5, spm.NORMAL),
+        ("O", -2.0, spm.NORMAL),
+        ("W", -2.0, spm.NORMAL),
+        ("OR", -2.2, spm.NORMAL),
+        ("LD", -2.4, spm.NORMAL),
+        ("H", -4.0, spm.NORMAL),
+        ("E", -4.0, spm.NORMAL),
+        ("L", -4.0, spm.NORMAL),
+        ("D", -4.0, spm.NORMAL),
+        ("R", -4.0, spm.NORMAL),
+    ]
+    return spm.build_model_proto(pieces, model_type=spm.UNIGRAM)
+
+
+def test_spm_unigram_viterbi_and_roundtrip(tmp_path):
+    from zipvoice_tpu.text.spm import SentencePieceEncoder
+
+    raw = _tiny_unigram_proto()
+    path = tmp_path / "uni.model"
+    path.write_bytes(raw)
+    sp = SentencePieceEncoder(str(path))
+    assert sp.get_piece_size() == 17
+    assert sp.piece_to_id("<pad>") == 3
+    # viterbi must pick the whole-word pieces over char spellings
+    assert sp.encode("HELLO WORLD", out_type=str) == ["▁HELLO", "▁WORLD"]
+    ids = sp.encode("HELLO WORLD")
+    assert sp.decode(ids) == "HELLO WORLD"
+    # unknown char -> unk id, lattice still completes
+    ids2 = sp.encode("HELLO Z")
+    assert sp.m.unk_id in ids2
+    # batch API like real spm
+    assert sp.encode(["HELLO", "WORLD"], out_type=str) == [["▁HELLO"], ["▁WORLD"]]
+
+
+def test_spm_bpe_merge_order(tmp_path):
+    from zipvoice_tpu.text import spm
+
+    # scores encode merge priority: "AB" merges before "BC"
+    pieces = [
+        ("<unk>", 0.0, spm.UNKNOWN),
+        ("▁", -1.0, spm.NORMAL),
+        ("A", -1.0, spm.NORMAL),
+        ("B", -1.0, spm.NORMAL),
+        ("C", -1.0, spm.NORMAL),
+        ("AB", -2.0, spm.NORMAL),
+        ("BC", -3.0, spm.NORMAL),
+        ("▁AB", -4.0, spm.NORMAL),
+        ("▁ABC", -9.0, spm.NORMAL),
+    ]
+    raw = spm.build_model_proto(pieces, model_type=spm.BPE)
+    sp = spm.SentencePieceEncoder(model_proto=raw)
+    # merges: A+B -> AB (best score), ▁+AB -> ▁AB, then ▁AB+C -> ▁ABC
+    assert sp.encode("ABC", out_type=str) == ["▁ABC"]
+
+
+def test_spm_byte_fallback():
+    from zipvoice_tpu.text import spm
+
+    pieces = [("<unk>", 0.0, spm.UNKNOWN), ("▁", -1.0, spm.NORMAL),
+              ("A", -1.0, spm.NORMAL)]
+    pieces += [(f"<0x{b:02X}>", 0.0, spm.BYTE) for b in range(256)]
+    raw = spm.build_model_proto(pieces, model_type=spm.UNIGRAM,
+                                byte_fallback=True)
+    sp = spm.SentencePieceEncoder(model_proto=raw)
+    toks = sp.encode("Aé", out_type=str)
+    assert toks[0] == "▁" and toks[1] == "A"
+    assert toks[2:] == ["<0xC3>", "<0xA9>"]  # UTF-8 of é
+    assert sp.decode(sp.encode("Aé")) == "Aé"
+
+
+def test_spm_matches_real_sentencepiece(tmp_path):
+    """Golden cross-check when the real package is importable."""
+    spm_real = pytest.importorskip("sentencepiece")
+    import sentencepiece as s
+
+    raw = _tiny_unigram_proto()
+    path = tmp_path / "uni.model"
+    path.write_bytes(raw)
+    real = s.SentencePieceProcessor()
+    real.load(str(path))
+    from zipvoice_tpu.text.spm import SentencePieceEncoder
+
+    ours = SentencePieceEncoder(str(path))
+    for text in ["HELLO WORLD", "HELLO", "WORLD HELLO HELLO", "HELD OR"]:
+        assert ours.encode(text) == real.encode(text)
+
+
+def test_libritts_bpe_via_vendored_reader(tmp_path):
+    """LibriTTSTokenizer bpe path end-to-end without sentencepiece."""
+    from zipvoice_tpu.text import spm
+    from zipvoice_tpu.text.tokenizer import LibriTTSTokenizer
+
+    path = tmp_path / "bpe.model"
+    path.write_bytes(_tiny_unigram_proto())
+    tok = LibriTTSTokenizer(str(path), token_type="bpe")
+    assert tok.vocab_size == 17 and tok.pad_id == 3
+    ids = tok.texts_to_token_ids(["hello world"])[0]
+    assert ids == [5, 6]  # normalize() uppercases -> ▁HELLO ▁WORLD

@@ -416,10 +416,16 @@ class LibriTTSTokenizer(Tokenizer):
         if token_type == "bpe":
             self.has_tokens = False
             if token_file is not None:
-                import sentencepiece as spm  # optional dep
+                try:
+                    import sentencepiece as spm  # optional dep
 
-                self.sp = spm.SentencePieceProcessor()
-                self.sp.load(token_file)
+                    self.sp = spm.SentencePieceProcessor()
+                    self.sp.load(token_file)
+                except ImportError:
+                    # vendored pure-Python reader (same .model files)
+                    from zipvoice_tpu.text.spm import SentencePieceEncoder
+
+                    self.sp = SentencePieceEncoder(token_file)
                 self.pad_id = self.sp.piece_to_id("<pad>")
                 self.vocab_size = self.sp.get_piece_size()
                 self.has_tokens = True
