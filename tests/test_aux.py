@@ -2,6 +2,7 @@
 and variant train-step smoke tests."""
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -266,3 +267,126 @@ def test_generate_averaged_model_cli(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out["params"]["embed"]["weight"]), expect, rtol=1e-6
     )
+
+
+def test_recipe_prep_scripts(tmp_path):
+    """egs local prep tooling: emilia jsonl -> TSV (filter rules),
+    opendialog jsonl -> TSV, manifest validator."""
+    import importlib.util
+    import json
+    import subprocess
+
+    root = Path(__file__).resolve().parents[1]
+
+    def load(path, name):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    em = load(root / "egs/zipvoice/local/prepare_emilia.py", "prep_emilia")
+    # filter rules (ref preprocess_emilia.py:136-174)
+    assert em.keep_text("hello world", 2.0)
+    assert em.keep_text("你好世界", 2.0)
+    assert not em.keep_text("안녕하세요", 2.0)            # Korean
+    assert not em.keep_text("こんにちは world", 2.0)       # Japanese
+    assert not em.keep_text("!!!", 2.0)                    # no valid chars
+    assert not em.keep_text(" ".join(["word"] * 12), 2.0)  # 10x repeat
+    assert not em.keep_text("hi", 60.0)                    # 2 wpm < 20
+
+    # end-to-end CLI: jsonl -> TSV
+    jsonl = tmp_path / "emilia.jsonl"
+    rows = [
+        {"id": "a1", "wav": "wavs/a1.mp3", "text": "hello there friend",
+         "duration": 2.0, "language": "en", "dnsmos": 3.4},
+        {"id": "a2", "wav": "wavs/a2.mp3", "text": "안녕", "duration": 1.0},
+        {"id": "a3", "wav": "wavs/a3.mp3", "text": "good audio",
+         "duration": 1.5, "dnsmos": 1.0},
+    ]
+    jsonl.write_text("\n".join(json.dumps(r) for r in rows))
+    out_tsv = tmp_path / "emilia.tsv"
+    r = subprocess.run(
+        [sys.executable, str(root / "egs/zipvoice/local/prepare_emilia.py"),
+         "--jsonl", str(jsonl), "--wav-root", "/data", "--output",
+         str(out_tsv), "--min-dnsmos", "3.0"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = out_tsv.read_text().splitlines()
+    assert len(lines) == 1 and lines[0].startswith("a1\thello there friend\t")
+    assert lines[0].endswith("/data/wavs/a1.mp3")
+
+    od = tmp_path / "opendialog.jsonl"
+    od.write_text(json.dumps(
+        {"id": "d1", "text": "[S1] hi_there [S2] hello", "path": "audio/d1.mp3"}
+    ) + "\n" + json.dumps({"id": "d2", "text": "no tags", "path": "x.mp3"}))
+    od_tsv = tmp_path / "od.tsv"
+    r = subprocess.run(
+        [sys.executable,
+         str(root / "egs/zipvoice_dialog/local/prepare_opendialog.py"),
+         "--jsonl", str(od), "--output", str(od_tsv)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = od_tsv.read_text().splitlines()
+    assert len(lines) == 1
+    assert lines[0].split("\t")[1] == "[S1] hi there [S2] hello"
+
+    # validator: the produced TSVs pass; a broken one fails
+    val = root / "egs/zipvoice/utils/validate_manifest.py"
+    r = subprocess.run([sys.executable, str(val), str(out_tsv), str(od_tsv)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("a1\ttext\tx.wav\na1\t\ty.wav\n")
+    r = subprocess.run([sys.executable, str(val), str(bad)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "duplicate id" in r.stdout
+
+
+def test_train_finetune_flag(tmp_path, monkeypatch):
+    """--finetune = fixed LR schedule + schedules pinned past their ramps
+    (ref train_zipvoice.py:204-210,564-565,967-968): drive main() for one
+    tiny step and inspect the trainer config it builds."""
+    import json
+
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.bin import train_zipvoice
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(28800) * 0.1).astype(np.float32)
+    write_wav(str(tmp_path / "u0.wav"), wav, 24000)
+    (tmp_path / "train.tsv").write_text(
+        f"u0\thello\t{tmp_path / 'u0.wav'}\n"
+    )
+    toks = {t: i for i, t in enumerate(["_", " ", "h", "e", "l", "o"])}
+    write_token_file(toks, str(tmp_path / "tokens.txt"))
+    (tmp_path / "model.json").write_text(json.dumps(
+        {"model": TINY,
+         "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 16}}
+    ))
+
+    captured = {}
+    from zipvoice_tpu.train import trainer as trainer_mod
+
+    orig_init = trainer_mod.Trainer.__init__
+
+    def spy_init(self, **kw):
+        captured["schedule"] = kw["train_cfg"].schedule
+        captured["offset"] = kw["options"].batch_count_offset
+        orig_init(self, **kw)
+
+    monkeypatch.setattr(trainer_mod.Trainer, "__init__", spy_init)
+    monkeypatch.setattr(sys, "argv", [
+        "train_zipvoice", "--train-manifest", str(tmp_path / "train.tsv"),
+        "--token-file", str(tmp_path / "tokens.txt"), "--tokenizer", "simple",
+        "--model-config", str(tmp_path / "model.json"),
+        "--exp-dir", str(tmp_path / "exp"), "--num-epochs", "1",
+        "--num-steps-per-epoch", "1", "--max-duration", "5",
+        "--dtype", "float32", "--finetune",
+    ])
+    train_zipvoice.main()
+    assert captured["schedule"] == "fixed"
+    assert captured["offset"] == 100000.0
+    assert (tmp_path / "exp" / "epoch-1.pt").exists()

@@ -315,3 +315,31 @@ def test_pipeline_warmup(model_dir):
     pipe.warmup(num_step=2, seconds=(0.5,), token_counts=(4,))
     # the warmed program is reused: same bucket -> cache hit
     assert pipe._sample_fn.cache_info().currsize >= 1
+
+
+def test_synthesize_fused_matches_split(model_dir):
+    """The one-program sample+vocoder+PCM16 path must produce the same wav
+    as the split sample_features->vocode path (same seed/noise), modulo the
+    int16 quantization both paths share."""
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(0)
+    prompt_wav = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    kw = dict(text="hello world", prompt_text="hi there",
+              prompt_wav=prompt_wav, prompt_sr=24000, num_step=2,
+              guidance_scale=1.0, seed=7)
+    split = pipe.synthesize(**kw)
+    fused = pipe.synthesize_fused(**kw)
+    assert fused.wav.shape == split.wav.shape
+    np.testing.assert_allclose(fused.wav, split.wav, atol=1.5 / 32767.0)
+    assert fused.metrics["rtf"] > 0

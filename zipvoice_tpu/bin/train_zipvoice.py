@@ -48,6 +48,10 @@ def get_parser():
     p.add_argument("--lr-hours", type=float, default=0,
                    help="if >0, key the Eden epoch term to hours of speech")
     p.add_argument("--condition-drop-ratio", type=float, default=0.2)
+    p.add_argument("--finetune", action="store_true",
+                   help="fine-tuning mode: fixed LR schedule and regularizer "
+                        "schedules pinned past their ramps "
+                        "(ref train_zipvoice.py:204-210,564-565,967-968)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--save-every-n", type=int, default=5000)
@@ -138,7 +142,7 @@ def main():
             lr_epochs=args.lr_epochs,
             condition_drop_ratio=args.condition_drop_ratio,
             compute_dtype=args.dtype,
-            schedule="eden",
+            schedule="fixed" if args.finetune else "eden",
             use_regularizers=not args.no_regularizers,
         ),
         options=TrainerOptions(
@@ -154,6 +158,7 @@ def main():
             lr_hours=args.lr_hours,
             max_duration=args.max_duration,
             inf_check=args.inf_check,
+            batch_count_offset=100000.0 if args.finetune else 0.0,
         ),
         mesh=mesh,
     )

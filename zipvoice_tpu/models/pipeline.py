@@ -52,6 +52,12 @@ class SynthesisResult:
     metrics: Dict[str, float]
 
 
+@dataclasses.dataclass
+class _SampleInputs:
+    args: tuple  # device arrays after `params` in the sampling programs
+    gen_len: int  # generated frames (host arithmetic, sync-free)
+
+
 class ZipVoicePipeline:
     """Host-side orchestration around the two jitted programs."""
 
@@ -251,19 +257,13 @@ class ZipVoicePipeline:
             metrics=metrics,
         )
 
-    def sample_features(
-        self,
-        tokens,
-        prompt_tokens,
-        prompt_feats: np.ndarray,
-        num_step: int = 16,
-        guidance_scale: float = 1.0,
-        speed: float = 1.0,
-        t_shift: float = 0.5,
-        seed: int = 666,
-        noise: Optional[np.ndarray] = None,
-    ) -> Tuple[np.ndarray, int]:
-        """Run the jitted ODE program.  Returns ((T_bucket, F) mel, gen_len)."""
+    def _prepare_sample_inputs(self, tokens, prompt_tokens, prompt_feats,
+                               speed: float, seed: int,
+                               noise: Optional[np.ndarray] = None):
+        """Shared bucket-padding for the sampling programs: returns a
+        _SampleInputs whose ``args`` feed _sample_fn/_sample_pcm_fn after
+        ``params`` and whose ``gen_len`` is the host-side generated-frame
+        count (sync-free)."""
         cat_tokens = list(prompt_tokens) + list(tokens)
         prompt_len_frames = prompt_feats.shape[0]
         total_frames = int(
@@ -307,19 +307,113 @@ class ZipVoicePipeline:
         else:
             noise = noise[:, :t_pad]
 
-        run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
-        mel, _ = run(
-            self.params,
-            jnp.asarray(tokens_padded),
-            jnp.asarray(tokens_lens),
-            jnp.asarray(pf, self.dtype),
-            jnp.asarray([prompt_len_frames], jnp.int32),
-            jnp.asarray([total_frames], jnp.int32),
-            jnp.asarray(noise, self.dtype),
+        return _SampleInputs(
+            args=(
+                jnp.asarray(tokens_padded),
+                jnp.asarray(tokens_lens),
+                jnp.asarray(pf, self.dtype),
+                jnp.asarray([prompt_len_frames], jnp.int32),
+                jnp.asarray([total_frames], jnp.int32),
+                jnp.asarray(noise, self.dtype),
+            ),
+            gen_len=total_frames - prompt_len_frames,
         )
+
+    def sample_features(
+        self,
+        tokens,
+        prompt_tokens,
+        prompt_feats: np.ndarray,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        seed: int = 666,
+        noise: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, int]:
+        """Run the jitted ODE program.  Returns ((T_bucket, F) mel, gen_len)."""
+        batch = self._prepare_sample_inputs(
+            tokens, prompt_tokens, prompt_feats, speed, seed, noise
+        )
+        run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
+        mel, _ = run(self.params, *batch.args)
         # mel stays on device (the vocoder consumes it there), and gen_len is
         # host arithmetic — the request runs sync-free until the wav readback
-        return mel[0], total_frames - prompt_len_frames
+        return mel[0], batch.gen_len
+
+    @functools.lru_cache(maxsize=32)
+    def _sample_pcm_fn(self, num_step: int, guidance_scale: float,
+                       t_shift: float):
+        """Fused serving program: ODE sampler + vocoder + PCM16 quantize in
+        ONE jitted computation — one dispatch and one (int16) readback per
+        request, which beats the split sample/vocode pair by a device
+        roundtrip on remote-attached chips.  The reference's closest
+        analogue is the two-session ONNX pipeline with a host Euler loop
+        (ref infer_zipvoice_onnx.py:357-377); here the whole request is a
+        single XLA program."""
+        sample = self._sample_fn(num_step, guidance_scale, t_shift)
+        vcfg = self.vocos_cfg
+        kind = self.vocoder
+
+        @jax.jit
+        def run(params, vparams, tokens_padded, tokens_lens, prompt_features,
+                prompt_features_lens, features_lens, noise):
+            mel, gen_lens = sample(
+                params, tokens_padded, tokens_lens, prompt_features,
+                prompt_features_lens, features_lens, noise,
+            )
+            if kind == "bigvgan":
+                from zipvoice_tpu.audio.bigvgan import (
+                    BigVGANConfig,
+                    bigvgan_decode,
+                )
+
+                wav = bigvgan_decode(vparams, mel.astype(noise.dtype),
+                                     BigVGANConfig())
+            else:
+                wav = vocos_decode(vparams, mel.astype(noise.dtype), vcfg)
+            wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+            return jnp.round(wav * 32767.0).astype(jnp.int16), gen_lens
+
+        return run
+
+    def synthesize_fused(
+        self,
+        text: str,
+        prompt_text: str,
+        prompt_wav: np.ndarray,
+        prompt_sr: int,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        seed: int = 666,
+    ) -> SynthesisResult:
+        """synthesize() through the fused one-program path (no model/vocoder
+        split in the metrics — the two stages are one XLA computation)."""
+        assert self.tokenizer is not None, "pipeline needs a tokenizer"
+        assert self.vocos_params is not None, "pipeline needs vocoder weights"
+        t0 = time.monotonic()
+        tokens = self.tokenizer.texts_to_token_ids([text])[0]
+        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+        pf, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
+        batch = self._prepare_sample_inputs(tokens, prompt_tokens, pf, speed, seed)
+        run = self._sample_pcm_fn(int(num_step), float(guidance_scale),
+                                  float(t_shift))
+        pcm, _ = run(self.params, self.vocos_params, *batch.args)
+        wav = np.asarray(pcm[0]).astype(np.float32) / 32767.0
+        out_len = max(batch.gen_len - 1, 1) * self.vocos_cfg.hop_length
+        wav = wav[:out_len]
+        if prompt_rms < target_rms:
+            wav = wav * (prompt_rms / target_rms)
+        t1 = time.monotonic()
+        wav_seconds = wav.shape[-1] / self.feat_cfg.sampling_rate
+        return SynthesisResult(
+            wav=wav, features=None,
+            metrics={"t": t1 - t0, "wav_seconds": wav_seconds,
+                     "rtf": (t1 - t0) / max(wav_seconds, 1e-9)},
+        )
 
     @functools.lru_cache(maxsize=8)
     def _vocode_i16_fn(self):
