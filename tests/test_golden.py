@@ -5,6 +5,8 @@ weights are available)."""
 
 import json
 
+import jax
+
 import numpy as np
 import pytest
 import torch
@@ -132,3 +134,70 @@ def test_golden_cli(tmp_path, monkeypatch):
     assert e.value.code == 0
     rep = json.loads(out.read_text())
     assert rep["overall"] == "pass"
+
+
+@pytest.mark.parametrize("variant", ["zipvoice", "zipvoice_distill"])
+def test_full_size_123M_tree_compatibility(reference_path, variant):
+    """Structural golden readiness at FULL scale: the reference torch model
+    built from the real egs/zipvoice/conf/zipvoice_base.json with the
+    released emilia token inventory has a state_dict that maps 1:1 (keys AND
+    shapes) onto our fresh-init pytree for the same config.  This is the
+    no-weights half of the released-checkpoint acceptance: if this holds,
+    model.pt loads exactly (ref checkpoint.py:108-147)."""
+    import json
+
+    import torch
+
+    from zipvoice_tpu.bin.make_tokens import build_emilia_tokens
+    from zipvoice_tpu.config import load_model_json
+    from zipvoice_tpu.io.checkpoint import (
+        assert_tree_matches,
+        params_to_state_dict,
+        state_dict_to_params,
+    )
+
+    config_path = reference_path / "egs/zipvoice/conf/zipvoice_base.json"
+    pinyin = reference_path / "egs/zipvoice/local/pinyin.txt"
+    if not pinyin.exists():
+        pytest.skip("reference pinyin inventory not mounted")
+    token2id = build_emilia_tokens(str(pinyin))
+    vocab_size, pad_id = len(token2id), token2id["_"]
+
+    model_section = json.loads(config_path.read_text())["model"]
+    if variant == "zipvoice":
+        from zipvoice.models.zipvoice import ZipVoice as RefModel
+    else:
+        from zipvoice.models.zipvoice_distill import (
+            ZipVoiceDistill as RefModel,
+        )
+
+    with torch.device("meta"):  # shapes only — no 123M of real memory
+        ref = RefModel(**model_section, vocab_size=vocab_size, pad_id=pad_id)
+    ref_sd = {k: v for k, v in ref.state_dict().items()}
+    n_params = sum(int(np.prod(v.shape)) for v in ref_sd.values())
+    assert 100e6 < n_params < 150e6, f"unexpected param count {n_params}"
+
+    model_cfg, _ = load_model_json(
+        str(config_path), vocab_size=vocab_size, pad_id=pad_id
+    )
+    if variant == "zipvoice":
+        from zipvoice_tpu.models.zipvoice import init_zipvoice as init
+    else:
+        from zipvoice_tpu.models.distill import (
+            distill_config,
+            init_zipvoice_distill as init,
+        )
+
+        model_cfg = distill_config(model_cfg)
+    params = init(jax.random.PRNGKey(0), model_cfg)
+
+    # keys: exact two-way match
+    assert_tree_matches(params, ref_sd.keys(), strict=True)
+    # shapes: our loader's mapping must accept every reference tensor
+    ours = params_to_state_dict(params)
+    mismatched = {
+        k: (tuple(ref_sd[k].shape), tuple(np.shape(ours[k])))
+        for k in ref_sd
+        if tuple(ref_sd[k].shape) != tuple(np.shape(ours[k]))
+    }
+    assert not mismatched, f"shape mismatches: {dict(list(mismatched.items())[:5])}"
