@@ -1,0 +1,138 @@
+"""Dynamic-batching HTTP serving layer (serve/server.py + bin/serve.py)."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from zipvoice_tpu.audio.vocos import VocosConfig, init_vocos
+from zipvoice_tpu.audio.wav import read_wav_bytes, wav_bytes
+from zipvoice_tpu.io.model_dir import load_model_dir
+from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+from zipvoice_tpu.serve.server import TTSServer
+
+from test_pipeline import TINY, TOKENS_TXT  # reuse the tiny model fixture
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_model")
+    # tiny model dir (same construction as test_pipeline.model_dir)
+    import torch
+
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    tokens = {t: i for i, t in enumerate(TOKENS_TXT)}
+    write_token_file(tokens, str(d / "tokens.txt"))
+    (d / "model.json").write_text(json.dumps({
+        "model": {k: list(v) if isinstance(v, tuple) else v
+                  for k, v in TINY.items()},
+        "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 20},
+    }))
+    cfg = ZipVoiceConfig(**TINY, vocab_size=len(tokens), pad_id=0)
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(params).items()}
+    torch.save({"model": sd}, d / "model.pt")
+
+    assets = load_model_dir(model_dir=str(d), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    srv = TTSServer(pipe, port=0, max_batch=4, max_wait_ms=200.0,
+                    num_step=2, guidance_scale=1.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _request(port: int, text: str, accept_json: bool = False, seed: int = 7):
+    rng = np.random.default_rng(0)
+    prompt = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    payload = {
+        "text": text, "prompt_text": "hi there",
+        "prompt_wav_b64": base64.b64encode(wav_bytes(prompt, 24000)).decode(),
+        "num_step": 2, "seed": seed,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Accept": "application/json"} if accept_json else {},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_healthz_and_single_request(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz", timeout=30
+    ) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+
+    status, ctype, body = _request(server.port, "hello world")
+    assert status == 200 and ctype == "audio/wav"
+    wav, sr = read_wav_bytes(body)
+    assert sr == 24000 and wav.shape[-1] > 0
+    assert np.isfinite(wav).all()
+
+
+def test_concurrent_requests_batch(server):
+    """Concurrent requests drain into one batched program call."""
+    before = dict(server.batcher.stats)
+    results = [None] * 3
+    threads = []
+
+    def hit(i):
+        results[i] = _request(server.port, f"hello world number {i}",
+                              accept_json=True)
+
+    for i in range(3):
+        t = threading.Thread(target=hit, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=300)
+    for status, _, body in results:
+        assert status == 200
+        payload = json.loads(body)
+        wav, sr = read_wav_bytes(base64.b64decode(payload["wav_b64"]))
+        assert sr == 24000 and np.isfinite(wav).all()
+    after = server.batcher.stats
+    new_reqs = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_reqs == 3
+    # at least two of the three must have shared a batch
+    assert new_batches < new_reqs
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/stats", timeout=30
+    ) as resp:
+        stats = json.loads(resp.read())
+    assert stats["requests"] >= 3 and stats["errors"] == 0
+    assert stats["audio_seconds"] > 0
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/synthesize",
+        data=b"{\"text\": \"no prompt\"}", method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400

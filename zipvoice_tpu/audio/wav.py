@@ -18,7 +18,12 @@ import numpy as np
 
 def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     """Read a RIFF WAV file -> (samples (C, L) float32 in [-1, 1], sample_rate)."""
-    data = Path(path).read_bytes()
+    return read_wav_bytes(Path(path).read_bytes(), name=str(path))
+
+
+def read_wav_bytes(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """read_wav for an in-memory RIFF blob (serving requests carry wav bytes)."""
+    path = name
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
@@ -65,8 +70,8 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(x), sample_rate
 
 
-def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int):
-    """Write (C, L) or (L,) float32 samples as PCM16 WAV."""
+def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (C, L) or (L,) float32 samples as a PCM16 RIFF blob."""
     x = np.asarray(samples, np.float32)
     if x.ndim == 1:
         x = x[None, :]
@@ -79,7 +84,12 @@ def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int):
         "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
     )
     hdr += b"data" + struct.pack("<I", len(body))
-    Path(path).write_bytes(hdr + body)
+    return hdr + body
+
+
+def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int):
+    """Write (C, L) or (L,) float32 samples as PCM16 WAV."""
+    Path(path).write_bytes(wav_bytes(samples, sample_rate))
 
 
 def resample(wav: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:

@@ -1,0 +1,289 @@
+"""Dynamic-batching HTTP TTS server.
+
+Serving design for one-chip deployment:
+
+* **Dynamic batching.** Requests queue on the host; a single dispatcher
+  thread drains up to ``max_batch`` requests (waiting at most
+  ``max_wait_ms`` after the first arrival) and runs them through the
+  pipeline's ONE-program batched sampler (`synthesize_batch`) — the CFG
+  Euler loop is MXU-bound, so batching B requests costs barely more wall
+  time than one (the bench's serving_b8 metric).  Single-request drains
+  take the fused sample+vocode+PCM16 program instead (one dispatch, one
+  readback).
+* **Shape bucketing.** The pipeline pads tokens/frames to buckets, so a
+  handful of compiled programs serves all request sizes; `warmup()`
+  precompiles the configured buckets before the listener opens.
+* **Stdlib only.** `ThreadingHTTPServer` + `json`/`base64`; no web
+  framework, so the server runs in the bare deployment image.
+
+Endpoints:
+
+* ``POST /synthesize`` — JSON body::
+
+      {"text": "...", "prompt_text": "...",
+       "prompt_wav_b64": "<base64 of a WAV file>",
+       "num_step": 16, "guidance_scale": 1.0, "speed": 1.0, "seed": 666}
+
+  → ``audio/wav`` bytes (or JSON ``{"wav_b64": ...}`` with
+  ``Accept: application/json``).
+* ``GET /healthz`` — liveness + device string.
+* ``GET /stats`` — request/batch counters and latency aggregates.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    text: str
+    prompt_text: str
+    prompt_wav: np.ndarray
+    prompt_sr: int
+    num_step: int
+    guidance_scale: float
+    speed: float
+    t_shift: float
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    wav: Optional[np.ndarray] = None
+    error: Optional[str] = None
+    t_enqueue: float = 0.0
+    t_finish: float = 0.0
+
+
+class DynamicBatcher:
+    """Collects concurrent requests into one batched sampler call."""
+
+    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 30.0,
+                 default_num_step: int = 16, default_guidance: float = 1.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.default_num_step = default_num_step
+        self.default_guidance = default_guidance
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.stats: Dict[str, float] = {
+            "requests": 0, "batches": 0, "errors": 0,
+            "audio_seconds": 0.0, "busy_seconds": 0.0,
+        }
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tts-dispatcher")
+        self._thread.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, req: _Request, timeout: float = 300.0) -> _Request:
+        req.t_enqueue = time.monotonic()
+        self.q.put(req)
+        if not req.done.wait(timeout):
+            req.error = req.error or "timeout"
+        return req
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ---------------------------------------------------------
+    def _drain(self) -> List[_Request]:
+        try:
+            first = self.q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            t0 = time.monotonic()
+            try:
+                self._run(batch)
+            except Exception as ex:  # noqa: BLE001 — server must stay up
+                logging.exception("batch failed")
+                for r in batch:
+                    r.error = r.error or repr(ex)
+            finally:
+                dt = time.monotonic() - t0
+                with self._stats_lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["batches"] += 1
+                    self.stats["busy_seconds"] += dt
+                    for r in batch:
+                        if r.error:
+                            self.stats["errors"] += 1
+                        elif r.wav is not None:
+                            self.stats["audio_seconds"] += (
+                                len(r.wav) / self.pipeline.feat_cfg.sampling_rate
+                            )
+                for r in batch:
+                    r.t_finish = time.monotonic()
+                    r.done.set()
+
+    def _run(self, batch: List[_Request]):
+        # sampling hyperparams must agree within one compiled program; split
+        # the drain by (num_step, guidance, speed, t_shift) key
+        by_key: Dict[tuple, List[_Request]] = {}
+        for r in batch:
+            by_key.setdefault(
+                (r.num_step, r.guidance_scale, r.speed, r.t_shift), []
+            ).append(r)
+        for (num_step, gs, speed, t_shift), group in by_key.items():
+            if len(group) == 1:
+                r = group[0]
+                res = self.pipeline.synthesize_fused(
+                    text=r.text, prompt_text=r.prompt_text,
+                    prompt_wav=r.prompt_wav, prompt_sr=r.prompt_sr,
+                    num_step=num_step, guidance_scale=gs, speed=speed,
+                    t_shift=t_shift, seed=r.seed,
+                )
+                r.wav = res.wav
+                continue
+            results = self.pipeline.synthesize_batch(
+                texts=[r.text for r in group],
+                prompt_texts=[r.prompt_text for r in group],
+                prompt_wavs=[r.prompt_wav for r in group],
+                prompt_srs=[r.prompt_sr for r in group],
+                num_step=num_step, guidance_scale=gs, speed=speed,
+                t_shift=t_shift,
+                seed=group[0].seed,
+            )
+            for r, res in zip(group, results):
+                r.wav = res.wav
+
+
+class TTSServer:
+    """HTTP front over a DynamicBatcher."""
+
+    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
+                 max_batch: int = 8, max_wait_ms: float = 30.0,
+                 num_step: int = 16, guidance_scale: float = 1.0):
+        self.batcher = DynamicBatcher(
+            pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            default_num_step=num_step, default_guidance=guidance_scale,
+        )
+        self.pipeline = pipeline
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_port  # resolved when port=0
+
+    def serve_forever(self):
+        logging.info("serving on :%d", self.port)
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.shutdown()
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route through logging
+                logging.debug("http: " + fmt, *args)
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    import jax
+
+                    self._json(200, {"status": "ok",
+                                     "device": str(jax.devices()[0])})
+                elif self.path == "/stats":
+                    st = dict(server.batcher.stats)
+                    busy = st.get("busy_seconds") or 0.0
+                    if busy > 0:
+                        st["aggregate_rtf"] = round(
+                            busy / max(st["audio_seconds"], 1e-9), 5
+                        )
+                    self._json(200, st)
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/synthesize":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    req = server._parse_request(payload)
+                except Exception as ex:  # noqa: BLE001
+                    self._json(400, {"error": f"bad request: {ex!r}"})
+                    return
+                server.batcher.submit(req)
+                if req.error:
+                    self._json(500, {"error": req.error})
+                    return
+                from zipvoice_tpu.audio.wav import wav_bytes
+
+                data = wav_bytes(req.wav,
+                                 server.pipeline.feat_cfg.sampling_rate)
+                if "application/json" in (self.headers.get("Accept") or ""):
+                    self._json(200, {
+                        "wav_b64": base64.b64encode(data).decode(),
+                        "seconds": len(req.wav) /
+                        server.pipeline.feat_cfg.sampling_rate,
+                        "latency": req.t_finish - req.t_enqueue,
+                    })
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        return Handler
+
+    def _parse_request(self, payload: Dict) -> _Request:
+        from zipvoice_tpu.audio.wav import read_wav_bytes
+
+        wav_b = base64.b64decode(payload["prompt_wav_b64"])
+        prompt_wav, prompt_sr = read_wav_bytes(wav_b)
+        b = self.batcher
+        return _Request(
+            text=str(payload["text"]),
+            prompt_text=str(payload["prompt_text"]),
+            prompt_wav=prompt_wav,
+            prompt_sr=prompt_sr,
+            num_step=int(payload.get("num_step", b.default_num_step)),
+            guidance_scale=float(payload.get("guidance_scale",
+                                             b.default_guidance)),
+            speed=float(payload.get("speed", 1.0)),
+            t_shift=float(payload.get("t_shift", 0.5)),
+            seed=int(payload.get("seed", 666)),
+        )
