@@ -22,6 +22,13 @@ SECONDS_OF_AUDIO = 10.0
 NUM_STEP = 16
 GUIDANCE = 1.0
 
+# The remote-attached dev chip compiles terminal-side (the persistent
+# compilation cache doesn't apply), so every distinct program costs minutes.
+# The headline RTF is measured first; auxiliary measurements (batched
+# serving, bf16 fidelity, training throughput) run only while inside this
+# wall-clock budget and are skipped (reported as null) otherwise.
+DEADLINE_SECONDS = float(__import__("os").environ.get("BENCH_DEADLINE", 1200))
+
 
 def _train_throughput(cfg) -> float:
     """One DP training step (regularizers live) on B=8 x 1024-frame batch ->
@@ -151,6 +158,8 @@ def _bf16_fidelity(cfg, feat_cfg) -> float:
 def main():
     import jax
 
+    _T0 = time.monotonic()
+
     # persistent compilation cache: the heavy programs (16-step sampler,
     # regularized train step) compile once per machine, not per run
     try:
@@ -235,24 +244,79 @@ def main():
     # the remote-tunnel transfer latency, so min is the steady-state number
     tm = float(np.min(times_model))
     tv = float(np.min(times_voc))
-    rtf = (tm + tv) / wav_secs
+    rtf_split = (tm + tv) / wav_secs
 
+    # headline: the fused serving path — sampler + vocoder + PCM16 quantize
+    # in ONE program, one dispatch and one int16 readback per request (what
+    # bin/serve.py runs for single requests).  Budget-guarded: its compile
+    # costs minutes terminal-side; past half the deadline, the split RTF
+    # (already measured) is the headline instead.
+    rtf = rtf_split
+    if time.monotonic() - _T0 < DEADLINE_SECONDS / 2:
+        batch_in = pipe._prepare_sample_inputs(
+            tokens, prompt_tokens, prompt_feats_dev, 1.0, 666
+        )
+        fused = pipe._sample_pcm_fn(NUM_STEP, GUIDANCE, 0.5)
+        out_samples = max(batch_in.gen_len - 1, 1) * pipe.vocos_cfg.hop_length
+
+        def run_fused():
+            t0 = time.monotonic()
+            pcm, _ = fused(pipe.params, pipe.vocos_params, *batch_in.args)
+            wav = np.asarray(pcm[0])[:out_samples]
+            return wav, time.monotonic() - t0
+
+        run_fused()
+        times_fused = []
+        for _ in range(8):
+            wav_f, tf = run_fused()
+            times_fused.append(tf)
+        fused_secs = wav_f.shape[-1] / feat_cfg.sampling_rate
+        rtf = float(np.min(times_fused)) / fused_secs
+
+    # provisional line first: if the harness kills this process during the
+    # auxiliary measurements below, the headline RTF is already on stdout
+    # (the final line, with extras, supersedes it when reached)
+    print(json.dumps({
+        "metric": "inference_rtf_zipvoice123M_16step",
+        "value": round(rtf, 5), "unit": "rtf",
+        "vs_baseline": round(TARGET_RTF / rtf, 2),
+        "detail": {"provisional": True},
+    }), flush=True)
+
+    # auxiliary measurements under the remaining wall-clock budget, on
+    # scan-of-layers programs (minutes-faster compiles, ~same MXU math)
+    set_scan_layers(True)
+    t_start = _T0
+    skipped = []
+
+    def budget_ok(label):
+        if time.monotonic() - t_start < DEADLINE_SECONDS:
+            return True
+        skipped.append(label)
+        return False
+
+    batched_tp = bf16_mse = train_tp = None
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
-    batched_tp = _batched_throughput(cfg, bparams, batch=8)
-    bf16_mse = _bf16_fidelity(cfg, feat_cfg)
-    train_tp = _train_throughput(cfg)
+    if budget_ok("serving_b8"):
+        batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
+    if budget_ok("bf16_fidelity"):
+        bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
+    if budget_ok("train_throughput"):
+        train_tp = round(_train_throughput(cfg), 2)
     result = {
         "metric": "inference_rtf_zipvoice123M_16step",
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 2),
         "detail": {
+            "rtf_split_pipeline": round(rtf_split, 5),
             "rtf_model": round(tm / wav_secs, 5),
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
-            "serving_b8_audio_sec_per_sec": round(batched_tp, 1),
-            "train_sec_audio_per_sec_per_chip": round(train_tp, 2),
-            "bf16_mel_mse_vs_f32": float(f"{bf16_mse:.3e}"),
+            "serving_b8_audio_sec_per_sec": batched_tp,
+            "train_sec_audio_per_sec_per_chip": train_tp,
+            "bf16_mel_mse_vs_f32": bf16_mse,
+            "skipped_over_deadline": skipped,
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
         },
