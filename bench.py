@@ -119,6 +119,46 @@ def _batched_throughput(cfg, params, batch: int = 8) -> float:
     return batch * SECONDS_OF_AUDIO / float(np.min(times))
 
 
+def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype) -> float:
+    """ZipVoice-Distill low-latency mode: 8 Euler steps, NO CFG doubling
+    (guidance rides in as a scale embedding — ref zipvoice_distill.py:67,
+    infer defaults ref infer_zipvoice.py:484-487).  Fused one-program path,
+    same 10 s request as the headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.audio.vocos import init_vocos
+    from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
+    from zipvoice_tpu.models.distill import distill_config, init_zipvoice_distill
+    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+
+    cfg = distill_config(ZipVoiceConfig(vocab_size=700, pad_id=0))
+    params = init_zipvoice_distill(jax.random.PRNGKey(0), cfg)
+    pipe = ZipVoicePipeline(
+        params=params, model_cfg=cfg, feat_cfg=feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1)), dtype=dtype,
+        distill=True,
+    )
+    prompt_dev = jnp.asarray(prompt_feats, dtype)
+    batch_in = pipe._prepare_sample_inputs(tokens, prompt_tokens, prompt_dev,
+                                           1.0, 666)
+    fused = pipe._sample_pcm_fn(8, 3.0, 0.5)
+    out_samples = max(batch_in.gen_len - 1, 1) * pipe.vocos_cfg.hop_length
+
+    def run():
+        t0 = time.monotonic()
+        pcm, _ = fused(pipe.params, pipe.vocos_params, *batch_in.args)
+        wav = np.asarray(pcm[0])[:out_samples]
+        return wav, time.monotonic() - t0
+
+    run()
+    times = []
+    for _ in range(5):
+        wav, t = run()
+        times.append(t)
+    return float(np.min(times)) / (wav.shape[-1] / feat_cfg.sampling_rate)
+
+
 def _bf16_fidelity(cfg, feat_cfg) -> float:
     """Mel MSE of the bf16 jitted sampler vs the f32 sampler on the SAME
     weights and noise — the fidelity cost of the deployment dtype on this
@@ -295,7 +335,7 @@ def main():
         skipped.append(label)
         return False
 
-    batched_tp = bf16_mse = train_tp = None
+    batched_tp = bf16_mse = train_tp = distill_rtf = None
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
     if budget_ok("serving_b8"):
         batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
@@ -303,6 +343,10 @@ def main():
         bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
     if budget_ok("train_throughput"):
         train_tp = round(_train_throughput(cfg), 2)
+    if budget_ok("distill_rtf"):
+        distill_rtf = round(
+            _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype), 5
+        )
     result = {
         "metric": "inference_rtf_zipvoice123M_16step",
         "value": round(rtf, 5),
@@ -314,6 +358,7 @@ def main():
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
             "serving_b8_audio_sec_per_sec": batched_tp,
+            "distill_rtf_8step": distill_rtf,
             "train_sec_audio_per_sec_per_chip": train_tp,
             "bf16_mel_mse_vs_f32": bf16_mse,
             "skipped_over_deadline": skipped,

@@ -18,9 +18,6 @@ from pathlib import Path
 
 def transcript_for(wav: Path) -> str:
     for suffix in (".normalized.txt", ".original.txt", ".txt"):
-        t = wav.with_suffix("").with_suffix(suffix) \
-            if suffix != ".txt" else wav.with_suffix(".txt")
-        # Path.with_suffix twice mangles stems with dots; build directly:
         t = wav.parent / (wav.stem + suffix)
         if t.exists():
             return t.read_text(encoding="utf-8").strip()

@@ -240,3 +240,52 @@ def test_fused_attention_padded_matches_xla(t):
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, pq, pe)
     for a, b_ in zip(g_fused, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [130])
+def test_fused_attention_padded_penalty_grads_match_xla(t):
+    """The failsafe score penalty at unaligned t: wrapper-pad phantom
+    columns must contribute NO penalty gradient (their pre-mask scores hit
+    real pe rows and can exceed the limit), while all real columns —
+    including user-masked ones — keep the XLA path's pre-mask penalty."""
+    from zipvoice_tpu.nn.regularizers import penalize_abs_values_gt
+    from zipvoice_tpu.ops.attention import rel_attention_probs_any
+
+    b, h, qd, pd = 2, 2, 8, 4
+    rng = np.random.default_rng(5)
+    # scale up pq/pe so plenty of pre-mask scores exceed the 2.0 limit,
+    # including phantom-column scores
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)) * 3.0, jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)) * 3.0, jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t, t - 37])[:, None])
+    w = jnp.asarray(rng.standard_normal((b, h, t, t)), jnp.float32)
+    pen = jnp.asarray(0.05, jnp.float32)
+    limit = 2.0
+
+    def loss_fused(q, k, pq, pe):
+        p = rel_attention_probs_any(
+            q, k, pq, pe, mask, out_dtype=jnp.float32, interpret=True,
+            score_penalty=pen, penalty_limit=limit,
+        )
+        return jnp.sum(p * w)
+
+    def loss_xla(q, k, pq, pe):
+        attn = jnp.einsum("bthd,bshd->bhts", q, k,
+                          preferred_element_type=jnp.float32)
+        pos = jnp.einsum("bthd,nhd->bhtn", pq, pe,
+                         preferred_element_type=jnp.float32)
+        scores = attn + _rel_shift(pos, t)
+        scores = penalize_abs_values_gt(
+            scores, jnp.asarray(True), limit=limit, penalty=float(pen)
+        )
+        return jnp.sum(masked_softmax(scores, mask) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, pq, pe)
+    for name, a, b_ in zip("q k pq pe".split(), g_fused, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5,
+            err_msg=f"grad mismatch for {name}",
+        )

@@ -49,15 +49,15 @@ def main():
     from zipvoice_tpu.bin.infer_zipvoice import build_pipeline
     from zipvoice_tpu.serve.server import TTSServer
 
+    # build_pipeline already resolves --num-step/--guidance-scale against
+    # the per-model defaults
     pipeline, num_step, guidance_scale = build_pipeline(args)
-    if args.num_step is not None:
-        num_step = args.num_step
-    if args.guidance_scale is not None:
-        guidance_scale = args.guidance_scale
 
     if args.warmup:
-        logging.info("warming serving buckets...")
-        pipeline.warmup(num_step=num_step, guidance_scale=guidance_scale)
+        logging.info("warming serving buckets (incl. fused + batch-%d "
+                     "programs)...", args.max_batch)
+        pipeline.warmup(num_step=num_step, guidance_scale=guidance_scale,
+                        batch_sizes=(args.max_batch,))
         logging.info("warmup done")
 
     server = TTSServer(

@@ -173,9 +173,13 @@ class ZipVoicePipeline:
     # ------------------------------------------------------------------ api
 
     def warmup(self, num_step: int = 16, guidance_scale: float = 1.0,
-               t_shift: float = 0.5, seconds=(10.0,), token_counts=(64,)):
-        """Precompile the sample/vocode programs for the given duration and
-        token buckets (serving cold-start control)."""
+               t_shift: float = 0.5, seconds=(10.0,), token_counts=(64,),
+               fused: bool = True, batch_sizes=()):
+        """Precompile the serving programs for the given duration and token
+        buckets (cold-start control).  By default this includes the fused
+        sample+vocoder+PCM16 program (what single requests run); pass
+        ``batch_sizes`` (e.g. ``(4, 8)``) to also compile the batched
+        sampler programs a dynamic-batching server drains into."""
         rng = np.random.default_rng(0)
         for secs in seconds:
             frames = int(secs * self.feat_cfg.frame_rate)
@@ -193,6 +197,33 @@ class ZipVoicePipeline:
                 )
                 if self.vocos_params is not None:
                     self.vocode(mel, gen_len)
+                    if fused:
+                        batch_in = self._prepare_sample_inputs(
+                            tokens, prompt_tokens, pf, 1.0, 0
+                        )
+                        run = self._sample_pcm_fn(
+                            int(num_step), float(guidance_scale), float(t_shift)
+                        )
+                        pcm, _ = run(self.params, self.vocos_params,
+                                     *batch_in.args)
+                        np.asarray(pcm[0, 0])
+                for b in batch_sizes:
+                    if b <= 1:
+                        continue
+                    run = self._sample_fn(
+                        int(num_step), float(guidance_scale), float(t_shift)
+                    )
+                    args = self._prepare_sample_inputs(
+                        tokens, prompt_tokens, pf, 1.0, 0
+                    ).args
+                    bargs = [jnp.repeat(a, b, axis=0) for a in args]
+                    mel_b, _ = run(self.params, *bargs)
+                    if self.vocos_params is not None:
+                        np.asarray(
+                            self._vocode_i16_fn()(
+                                self.vocos_params, mel_b.astype(self.dtype)
+                            )[0, 0]
+                        )
 
     def prompt_features(self, prompt_wav: np.ndarray, sr: int,
                         target_rms: float = 0.1):
@@ -451,10 +482,16 @@ class ZipVoicePipeline:
         t_shift: float = 0.5,
         target_rms: float = 0.1,
         seed: int = 666,
+        seeds=None,
     ):
         """Serve several requests in ONE compiled program call (the reference
         infers strictly one sentence at a time, ref infer_zipvoice.py:420-470;
         batching the CFG Euler loop is nearly free on the MXU).
+
+        ``seeds`` (one per request) keys each row's noise independently so a
+        request's seed is honored regardless of what it was co-batched with;
+        the draw additionally depends on the padded frame bucket, so byte
+        reproducibility holds per bucket, not across bucket changes.
 
         Returns a list of SynthesisResult (metrics carry the batch totals).
         """
@@ -490,10 +527,19 @@ class ZipVoicePipeline:
         pf = jnp.zeros((n, t_pad, feats[0].shape[-1]), self.dtype)
         for i, f in enumerate(feats):
             pf = pf.at[i, : f.shape[0]].set(jnp.asarray(f, self.dtype))
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (n, t_pad, self.model_cfg.feat_dim),
-            self.dtype,
-        )
+        if seeds is None:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), (n, t_pad, self.model_cfg.feat_dim),
+                self.dtype,
+            )
+        else:
+            assert len(seeds) == n
+            noise = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.PRNGKey(s), (t_pad, self.model_cfg.feat_dim),
+                    self.dtype,
+                )
+            )(jnp.asarray(seeds, jnp.uint32))
 
         run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
         mel, gen_lens = run(

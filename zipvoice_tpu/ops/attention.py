@@ -103,7 +103,7 @@ def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
 
 
 def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
-                ds_ref, *, limit):
+                ds_ref, *, limit, valid_cols):
     """Backward: recompute scores tile-wise (same math as _kernel) and emit
     the score cotangent ds in one pass — softmax VJP fused with the
     attention-score failsafe penalty (ref scaling.py:699-726 adds
@@ -111,6 +111,13 @@ def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
     0.1; pen_ref holds gate * penalty, zero when ungated).  Fusing here
     avoids writing the (B, H, T, T) f32 probs to HBM and reading them back
     for the elementwise VJP.
+
+    valid_cols bounds the penalty to real key columns: the pad-and-slice
+    wrapper appends phantom columns whose pre-mask scores (pq . real pe
+    rows at offsets < t) can exceed the limit; the XLA path never sees
+    those pairs, so they must not contribute penalty gradient.  (User key-
+    padding columns j < valid_cols DO get penalty, matching the XLA path's
+    pre-mask application.)
     """
     s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)  # what the penalty sees
     probs = _tile_softmax(s_pre + mask_ref[0, 0, :][None, :])
@@ -118,11 +125,16 @@ def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
     g = g_ref[0].astype(jnp.float32)
     ds = probs * (g - jnp.sum(g * probs, axis=1, keepdims=True))
     pen = pen_ref[0, 0]
-    ds = ds + pen * jnp.sign(s_pre) * ((jnp.abs(s_pre) - limit) > 0)
+    pen_term = pen * jnp.sign(s_pre) * ((jnp.abs(s_pre) - limit) > 0)
+    t = s_pre.shape[1]
+    if valid_cols < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, s_pre.shape, 1)
+        pen_term = jnp.where(col < valid_cols, pen_term, 0.0)
+    ds = ds + pen_term
     ds_ref[0] = ds.astype(ds_ref.dtype)
 
 
-def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, interpret):
+def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, valid_cols, interpret):
     """ds = d(loss)/d(scores) for the fused attention, shape (B, H, T, T) in
     q.dtype (the einsum adjoints consume it in compute dtype anyway)."""
     b, t, h, qd = q.shape
@@ -135,7 +147,7 @@ def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, interpret):
     pen2 = pen.reshape(1, 1).astype(jnp.float32)
 
     ds = pl.pallas_call(
-        functools.partial(_bwd_kernel, limit=limit),
+        functools.partial(_bwd_kernel, limit=limit, valid_cols=valid_cols),
         grid=(b * h, t // TILE),
         in_specs=[
             pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
@@ -178,12 +190,14 @@ def _xla_rel_probs(q, k, pq, pe, bias, out_dtype):
     return jax.nn.softmax(scores, axis=-1).astype(out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def _rel_probs_ad(q, k, pq, pe, bias, pen, limit, out_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _rel_probs_ad(q, k, pq, pe, bias, pen, limit, valid_cols, out_dtype,
+                  interpret):
     return _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret)
 
 
-def _rel_probs_fwd(q, k, pq, pe, bias, pen, limit, out_dtype, interpret):
+def _rel_probs_fwd(q, k, pq, pe, bias, pen, limit, valid_cols, out_dtype,
+                   interpret):
     return (
         _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret),
         (q, k, pq, pe, bias, pen),
@@ -201,7 +215,7 @@ def _unshear(ds: jax.Array) -> jax.Array:
     return flat.reshape(b, h, t, 2 * t - 1)
 
 
-def _rel_probs_bwd(limit, out_dtype, interpret, res, g):
+def _rel_probs_bwd(limit, valid_cols, out_dtype, interpret, res, g):
     """Analytic backward: one Pallas pass recomputes scores and emits the
     score cotangent ds (softmax VJP + the gated failsafe penalty on pre-mask
     scores), then the three matmul adjoints — neither the (2T-1) f32
@@ -212,7 +226,8 @@ def _rel_probs_bwd(limit, out_dtype, interpret, res, g):
     so its cotangent is never propagated; pen's cotangent is zero (the
     penalty enters the loss, not the output)."""
     q, k, pq, pe, bias, pen = res
-    dsb = _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, interpret)
+    dsb = _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, valid_cols,
+                         interpret)
 
     dq = jnp.einsum("bhts,bshd->bthd", dsb, k,
                     preferred_element_type=jnp.float32).astype(q.dtype)
@@ -234,7 +249,9 @@ _rel_probs_ad.defvjp(_rel_probs_fwd, _rel_probs_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "interpret", "penalty_limit")
+    jax.jit,
+    static_argnames=("out_dtype", "interpret", "penalty_limit",
+                     "penalty_valid_cols"),
 )
 def rel_attention_probs(
     q: jax.Array,  # (B, T, H, qd)
@@ -246,6 +263,7 @@ def rel_attention_probs(
     interpret: bool = False,
     score_penalty: Optional[jax.Array] = None,  # scalar gate*penalty, f32
     penalty_limit: float = 25.0,
+    penalty_valid_cols: Optional[int] = None,  # penalty col bound (pad wrapper)
 ) -> jax.Array:
     """Fused attention probabilities (B, H, T, T); differentiable (forward =
     Pallas kernel, backward = fused Pallas ds kernel + matmul adjoints).  T
@@ -268,8 +286,11 @@ def rel_attention_probs(
         ]
     if score_penalty is None:
         score_penalty = jnp.zeros((), jnp.float32)
+    if penalty_valid_cols is None:
+        penalty_valid_cols = t
     return _rel_probs_ad(q, k, pq, pe, bias, score_penalty,
-                         float(penalty_limit), out_dtype, interpret)
+                         float(penalty_limit), int(penalty_valid_cols),
+                         out_dtype, interpret)
 
 
 def rel_attention_probs_any(
@@ -315,7 +336,7 @@ def rel_attention_probs_any(
     )
     probs = rel_attention_probs(
         qp, kp, pqp, pep, maskp, out_dtype, interpret,
-        score_penalty, penalty_limit,
+        score_penalty, penalty_limit, penalty_valid_cols=t,
     )
     return probs[:, :, :t, :t]
 

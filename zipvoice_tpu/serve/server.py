@@ -118,62 +118,69 @@ class DynamicBatcher:
     def _loop(self):
         while not self._stop.is_set():
             batch = self._drain()
+            # shed requests whose client already gave up (submit() timeout
+            # set done + error) — don't spend device time on dead work
+            batch = [r for r in batch if not r.done.is_set()]
             if not batch:
                 continue
             t0 = time.monotonic()
-            try:
-                self._run(batch)
-            except Exception as ex:  # noqa: BLE001 — server must stay up
-                logging.exception("batch failed")
+            self._run(batch)
+            dt = time.monotonic() - t0
+            with self._stats_lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["busy_seconds"] += dt
                 for r in batch:
-                    r.error = r.error or repr(ex)
-            finally:
-                dt = time.monotonic() - t0
-                with self._stats_lock:
-                    self.stats["requests"] += len(batch)
-                    self.stats["batches"] += 1
-                    self.stats["busy_seconds"] += dt
-                    for r in batch:
-                        if r.error:
-                            self.stats["errors"] += 1
-                        elif r.wav is not None:
-                            self.stats["audio_seconds"] += (
-                                len(r.wav) / self.pipeline.feat_cfg.sampling_rate
-                            )
-                for r in batch:
-                    r.t_finish = time.monotonic()
-                    r.done.set()
+                    if r.error:
+                        self.stats["errors"] += 1
+                    elif r.wav is not None:
+                        self.stats["audio_seconds"] += (
+                            len(r.wav) / self.pipeline.feat_cfg.sampling_rate
+                        )
+            for r in batch:
+                r.t_finish = time.monotonic()
+                r.done.set()
 
     def _run(self, batch: List[_Request]):
         # sampling hyperparams must agree within one compiled program; split
-        # the drain by (num_step, guidance, speed, t_shift) key
+        # the drain by (num_step, guidance, speed, t_shift) key.  Failures
+        # are isolated per group: a crashing group 500s only its own
+        # requests, completed groups still return audio.
         by_key: Dict[tuple, List[_Request]] = {}
         for r in batch:
             by_key.setdefault(
                 (r.num_step, r.guidance_scale, r.speed, r.t_shift), []
             ).append(r)
         for (num_step, gs, speed, t_shift), group in by_key.items():
-            if len(group) == 1:
-                r = group[0]
-                res = self.pipeline.synthesize_fused(
-                    text=r.text, prompt_text=r.prompt_text,
-                    prompt_wav=r.prompt_wav, prompt_sr=r.prompt_sr,
-                    num_step=num_step, guidance_scale=gs, speed=speed,
-                    t_shift=t_shift, seed=r.seed,
-                )
-                r.wav = res.wav
-                continue
-            results = self.pipeline.synthesize_batch(
-                texts=[r.text for r in group],
-                prompt_texts=[r.prompt_text for r in group],
-                prompt_wavs=[r.prompt_wav for r in group],
-                prompt_srs=[r.prompt_sr for r in group],
+            try:
+                self._run_group(group, num_step, gs, speed, t_shift)
+            except Exception as ex:  # noqa: BLE001 — server must stay up
+                logging.exception("group failed")
+                for r in group:
+                    r.error = r.error or repr(ex)
+
+    def _run_group(self, group, num_step, gs, speed, t_shift):
+        if len(group) == 1:
+            r = group[0]
+            res = self.pipeline.synthesize_fused(
+                text=r.text, prompt_text=r.prompt_text,
+                prompt_wav=r.prompt_wav, prompt_sr=r.prompt_sr,
                 num_step=num_step, guidance_scale=gs, speed=speed,
-                t_shift=t_shift,
-                seed=group[0].seed,
+                t_shift=t_shift, seed=r.seed,
             )
-            for r, res in zip(group, results):
-                r.wav = res.wav
+            r.wav = res.wav
+            return
+        results = self.pipeline.synthesize_batch(
+            texts=[r.text for r in group],
+            prompt_texts=[r.prompt_text for r in group],
+            prompt_wavs=[r.prompt_wav for r in group],
+            prompt_srs=[r.prompt_sr for r in group],
+            num_step=num_step, guidance_scale=gs, speed=speed,
+            t_shift=t_shift,
+            seeds=[r.seed for r in group],
+        )
+        for r, res in zip(group, results):
+            r.wav = res.wav
 
 
 class TTSServer:
