@@ -136,7 +136,11 @@ def test_golden_cli(tmp_path, monkeypatch):
     assert rep["overall"] == "pass"
 
 
-@pytest.mark.parametrize("variant", ["zipvoice", "zipvoice_distill"])
+@pytest.mark.parametrize(
+    "variant",
+    ["zipvoice", "zipvoice_distill", "zipvoice_dialog",
+     "zipvoice_dialog_stereo"],
+)
 def test_full_size_123M_tree_compatibility(reference_path, variant):
     """Structural golden readiness at FULL scale: the reference torch model
     built from the real egs/zipvoice/conf/zipvoice_base.json with the
@@ -162,14 +166,24 @@ def test_full_size_123M_tree_compatibility(reference_path, variant):
         pytest.skip("reference pinyin inventory not mounted")
     token2id = build_emilia_tokens(str(pinyin))
     vocab_size, pad_id = len(token2id), token2id["_"]
+    if "dialog" in variant:
+        # released dialog tokens.txt extends emilia by 28 (ref
+        # train_zipvoice_dialog.py:783-788); spk ids land at the end
+        vocab_size += 28
 
     model_section = json.loads(config_path.read_text())["model"]
-    if variant == "zipvoice":
-        from zipvoice.models.zipvoice import ZipVoice as RefModel
-    else:
-        from zipvoice.models.zipvoice_distill import (
-            ZipVoiceDistill as RefModel,
-        )
+    ref_cls = {
+        "zipvoice": ("zipvoice.models.zipvoice", "ZipVoice"),
+        "zipvoice_distill": ("zipvoice.models.zipvoice_distill",
+                             "ZipVoiceDistill"),
+        "zipvoice_dialog": ("zipvoice.models.zipvoice_dialog",
+                            "ZipVoiceDialog"),
+        "zipvoice_dialog_stereo": ("zipvoice.models.zipvoice_dialog",
+                                   "ZipVoiceDialogStereo"),
+    }[variant]
+    import importlib
+
+    RefModel = getattr(importlib.import_module(ref_cls[0]), ref_cls[1])
 
     with torch.device("meta"):  # shapes only — no 123M of real memory
         ref = RefModel(**model_section, vocab_size=vocab_size, pad_id=pad_id)
@@ -182,13 +196,19 @@ def test_full_size_123M_tree_compatibility(reference_path, variant):
     )
     if variant == "zipvoice":
         from zipvoice_tpu.models.zipvoice import init_zipvoice as init
-    else:
+    elif variant == "zipvoice_distill":
         from zipvoice_tpu.models.distill import (
             distill_config,
             init_zipvoice_distill as init,
         )
 
         model_cfg = distill_config(model_cfg)
+    elif variant == "zipvoice_dialog":
+        from zipvoice_tpu.models.dialog import init_zipvoice_dialog as init
+    else:
+        from zipvoice_tpu.models.dialog import (
+            init_zipvoice_dialog_stereo as init,
+        )
     params = init(jax.random.PRNGKey(0), model_cfg)
 
     # keys: exact two-way match
