@@ -92,3 +92,40 @@ def tp_opt_state_shardings(mesh: Mesh, opt_state, param_shardings):
         model_norms=repl,
         model_norm_threshold=repl,
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence (time) parallelism — inference
+# ---------------------------------------------------------------------------
+
+def make_seq_mesh(n_seq: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the time dimension for sequence-parallel inference.
+
+    The reference has no SP (SURVEY §5.7: sequence length is handled
+    architecturally by the 30 s cap + U-Net downsampling); this is the
+    TPU-native extension for longer-than-30s single-utterance synthesis:
+    shard T over ICI and let GSPMD insert the attention all-gathers and
+    conv halo exchanges (verified equal to the unsharded sampler in
+    tests/test_sequence_parallel.py)."""
+    devices = devices if devices is not None else jax.devices()
+    n_seq = n_seq or len(devices)
+    return Mesh(np.asarray(devices[:n_seq]).reshape(n_seq), ("seq",))
+
+
+def seq_activation_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, F) arrays sharded along T over the ``seq`` axis."""
+    return NamedSharding(mesh, P(None, "seq", None))
+
+
+def sp_sample_jit(sample_fn, mesh: Mesh):
+    """jit ``sample_fn(params, tokens, tokens_lens, prompt_features,
+    prompt_features_lens, features_lens, noise)`` with the frame-axis
+    arrays (prompt_features, noise, output) sharded over ``seq`` and
+    everything else replicated.  T must be divisible by the mesh size."""
+    seq3 = seq_activation_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        sample_fn,
+        in_shardings=(rep, rep, rep, seq3, rep, rep, seq3),
+        out_shardings=seq3,
+    )

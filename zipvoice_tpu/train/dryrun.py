@@ -97,3 +97,31 @@ def run_dryrun(n_devices: int) -> None:
     assert np.isfinite(loss), loss
     kind = f"dp={n_devices // n_model} x tp={n_model}" if n_model > 1 else "dp"
     print(f"dryrun ok: {n_devices} devices ({kind}), loss={loss:.4f}")
+
+    # sequence-parallel inference: full sampler with the frame axis sharded
+    # over all devices (attention all-gathers + conv halos via GSPMD)
+    from zipvoice_tpu.models import zipvoice as zv
+    from zipvoice_tpu.parallel.mesh import make_seq_mesh, sp_sample_jit
+
+    smesh = make_seq_mesh(n_devices)
+    t_sp = 16 * n_devices  # divisible by the mesh and the 2x downsample
+    sp_tokens = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, s)), jnp.int32)
+    sp_fn = sp_sample_jit(
+        lambda p, tok, tl, pf, pl, fl, nz: zv.sample(
+            p, cfg, tok, tl, pf, pl, fl, nz, num_step=2, guidance_scale=1.0,
+            t_shift=0.5,
+        ),
+        smesh,
+    )
+    out = sp_fn(
+        init_zipvoice(jax.random.PRNGKey(0), cfg),
+        sp_tokens,
+        jnp.asarray([s - 2], jnp.int32),
+        jnp.asarray(rng.standard_normal((1, t_sp, cfg.feat_dim)) * 0.1,
+                    jnp.float32),
+        jnp.asarray([t_sp // 4], jnp.int32),
+        jnp.asarray([t_sp], jnp.int32),
+        jnp.asarray(rng.standard_normal((1, t_sp, cfg.feat_dim)), jnp.float32),
+    )
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    print(f"dryrun ok: sequence-parallel sampler over {n_devices} devices")
