@@ -75,3 +75,59 @@ def test_sp_sample_matches_unsharded():
     ).compile().as_text()
     assert "all-gather" in hlo  # attention k/pe gathers
     assert "collective-permute" in hlo  # conv halo exchange
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sp_train_step_matches_dp():
+    """One training step on a data x seq mesh (dp=2 x sp=4) must produce the
+    same loss and updated params as the plain dp mesh."""
+    from zipvoice_tpu.parallel.mesh import (
+        make_dp_sp_mesh,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.step import TrainConfig, make_train_step
+
+    cfg = ZipVoiceConfig(**TINY)
+    rng = np.random.default_rng(0)
+    b, s, t = 8, 12, 64
+    batch_np = {
+        "tokens": rng.integers(1, cfg.vocab_size, (b, s)).astype(np.int32),
+        "tokens_lens": np.full((b,), s - 2, np.int32),
+        "features": rng.standard_normal((b, t, cfg.feat_dim)).astype(
+            np.float32
+        ),
+        "features_lens": np.full((b,), t - 3, np.int32),
+    }
+    opt = scaled_adam(clipping_scale=2.0)
+    tc = TrainConfig(compute_dtype="float32", use_regularizers=False)
+    key = jax.random.PRNGKey(3)
+
+    def one_step(mesh):
+        params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+        opt_state = opt.init(params)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        step = make_train_step(cfg, opt, tc, mesh=mesh)
+        batch = shard_batch(mesh, {k: v.copy() for k, v in batch_np.items()})
+        if "seq" in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch["features"] = jax.device_put(
+                batch_np["features"].copy(),
+                NamedSharding(mesh, P("data", "seq", None)),
+            )
+        p2, _, m = step(params, opt_state, batch, key,
+                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
+        return float(m["loss"]), p2
+
+    loss_dp, p_dp = one_step(make_mesh(n_data=8, n_model=1))
+    loss_sp, p_sp = one_step(make_dp_sp_mesh(2, 4))
+    assert abs(loss_dp - loss_sp) < 1e-5, (loss_dp, loss_sp)
+    flat_dp = jax.tree.leaves(p_dp)
+    flat_sp = jax.tree.leaves(p_sp)
+    for a, b_ in zip(flat_dp, flat_sp):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32), atol=2e-5)

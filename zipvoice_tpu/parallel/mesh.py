@@ -129,3 +129,12 @@ def sp_sample_jit(sample_fn, mesh: Mesh):
         in_shardings=(rep, rep, rep, seq3, rep, rep, seq3),
         out_shardings=seq3,
     )
+
+
+def make_dp_sp_mesh(n_data: int, n_seq: int, devices=None) -> Mesh:
+    """2-D ``data x seq`` mesh: batch over data, frame axis over seq —
+    training-side sequence parallelism for long utterances (beyond the
+    reference, which caps utterances at 30 s instead; SURVEY §5.7)."""
+    devices = devices if devices is not None else jax.devices()
+    devs = np.asarray(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(devs, ("data", "seq"))

@@ -136,6 +136,15 @@ def make_train_step(
         "tokens": data, "tokens_lens": data, "features": data,
         "features_lens": data,
     }
+    if "seq" in mesh.axis_names and dict(mesh.shape).get("seq", 1) > 1:
+        # sequence-parallel training: the frame axis of the features shards
+        # over the seq axis (GSPMD inserts attention all-gathers + conv
+        # halos in fwd AND bwd; grads all-reduce over data x seq)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_shardings["features"] = NamedSharding(
+            mesh, P("data", "seq", None)
+        )
 
     use_tp = (
         "model" in mesh.axis_names
