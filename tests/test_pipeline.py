@@ -343,3 +343,103 @@ def test_synthesize_fused_matches_split(model_dir):
     assert fused.wav.shape == split.wav.shape
     np.testing.assert_allclose(fused.wav, split.wav, atol=1.5 / 32767.0)
     assert fused.metrics["rtf"] > 0
+
+
+def test_infer_dialog_cli_end_to_end(tmp_path, monkeypatch):
+    """Drive bin/infer_zipvoice_dialog.main(): dialog model dir + split
+    two-speaker prompts + tiny vocos (merged-prompt assembly, speaker-tag
+    tokenization, vocoding, wav write)."""
+    import sys
+
+    import jax
+    import torch
+
+    from zipvoice_tpu.bin import infer_zipvoice_dialog
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.models.dialog import init_zipvoice_dialog
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    from pathlib import Path as _P
+
+    pinyin = _P("/root/reference/egs/zipvoice/local/pinyin.txt")
+    if not pinyin.exists():
+        pytest.skip("reference pinyin inventory not mounted")
+    from zipvoice_tpu.bin.make_tokens import build_emilia_tokens
+
+    d = tmp_path / "dialog_model"
+    d.mkdir()
+    # emilia inventory + the dialog [S1]/[S2] extension (EN G2P is gated in
+    # this image, so the test drives the ZH path via the vendored pinyin
+    # fallback)
+    tokens = dict(build_emilia_tokens(str(pinyin)))
+    tokens["[S1]"] = len(tokens)
+    tokens["[S2]"] = len(tokens)
+    write_token_file(tokens, str(d / "tokens.txt"))
+    (d / "model.json").write_text(json.dumps({
+        "model": {k: list(v) if isinstance(v, tuple) else v
+                  for k, v in TINY.items()},
+        "feature": {"sampling_rate": 24000, "type": "vocos", "n_mels": 20},
+    }))
+    cfg = ZipVoiceConfig(**TINY, vocab_size=len(tokens), pad_id=0)
+    params = init_zipvoice_dialog(jax.random.PRNGKey(2), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in params_to_state_dict(params).items()}
+    torch.save({"model": sd}, d / "model.pt")
+
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    vparams = init_vocos(jax.random.PRNGKey(3), vcfg)
+
+    def tree_to_torch_sd(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(tree_to_torch_sd(v, name))
+            else:
+                arr = np.asarray(v)
+                if name.endswith("embed.weight") and arr.ndim == 3:
+                    arr = np.transpose(arr, (2, 1, 0))
+                elif name.endswith("dwconv.weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)[:, None, :]
+                elif name.endswith(".weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)
+                out[name] = torch.from_numpy(arr.copy())
+        return out
+
+    voc_path = tmp_path / "vocos.bin"
+    torch.save(tree_to_torch_sd(vparams), voc_path)
+
+    rng = np.random.default_rng(0)
+    p1 = tmp_path / "p1.wav"
+    p2 = tmp_path / "p2.wav"
+    write_wav(p1, (rng.standard_normal((1, 16000)) * 0.05).astype(np.float32),
+              24000)
+    write_wav(p2, (rng.standard_normal((1, 16000)) * 0.05).astype(np.float32),
+              24000)
+
+    import zipvoice_tpu.models.pipeline as pl_mod
+
+    orig_init = pl_mod.ZipVoicePipeline.__init__
+
+    def patched_init(self, *a, **kw):
+        kw["vocos_cfg"] = vcfg
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(pl_mod.ZipVoicePipeline, "__init__", patched_init)
+
+    out_wav = tmp_path / "dialog_out.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "infer_zipvoice_dialog", "--model-name", "zipvoice_dialog",
+        "--model-dir", str(d), "--vocoder-path", str(voc_path),
+        "--prompt-text-1", "[S1] 你好。",
+        "--prompt-wav-1", str(p1),
+        "--prompt-text-2", "[S2] 很好，谢谢。",
+        "--prompt-wav-2", str(p2),
+        "--text", "[S1] 今天天气不错。 [S2] 确实很好。",
+        "--res-wav-path", str(out_wav), "--num-step", "2",
+    ])
+    infer_zipvoice_dialog.main()
+    wav, sr = read_wav(out_wav)
+    assert sr == 24000 and wav.shape[-1] > 0
+    assert np.isfinite(wav).all()

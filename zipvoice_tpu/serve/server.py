@@ -79,6 +79,7 @@ class DynamicBatcher:
             "requests": 0, "batches": 0, "errors": 0,
             "audio_seconds": 0.0, "busy_seconds": 0.0,
         }
+        self._latencies: List[float] = []  # last 1000 request latencies
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -137,8 +138,12 @@ class DynamicBatcher:
                         self.stats["audio_seconds"] += (
                             len(r.wav) / self.pipeline.feat_cfg.sampling_rate
                         )
+            now = time.monotonic()
+            with self._stats_lock:
+                self._latencies.extend(now - r.t_enqueue for r in batch)
+                del self._latencies[:-1000]
             for r in batch:
-                r.t_finish = time.monotonic()
+                r.t_finish = now
                 r.done.set()
 
     def _run(self, batch: List[_Request]):
@@ -231,11 +236,20 @@ class TTSServer:
                     self._json(200, {"status": "ok",
                                      "device": str(jax.devices()[0])})
                 elif self.path == "/stats":
-                    st = dict(server.batcher.stats)
+                    b = server.batcher
+                    with b._stats_lock:
+                        st = dict(b.stats)
+                        lats = sorted(b._latencies)
                     busy = st.get("busy_seconds") or 0.0
                     if busy > 0:
                         st["aggregate_rtf"] = round(
                             busy / max(st["audio_seconds"], 1e-9), 5
+                        )
+                    if lats:
+                        st["latency_p50"] = round(lats[len(lats) // 2], 4)
+                        st["latency_p95"] = round(
+                            lats[min(len(lats) - 1,
+                                     int(len(lats) * 0.95))], 4
                         )
                     self._json(200, st)
                 else:
