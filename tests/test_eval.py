@@ -29,9 +29,15 @@ def test_edit_distance_and_wer():
 
 
 def test_dialog_split_and_cpwer():
+    # reference split_dialogue semantics (ref dialog.py:267-272): split on
+    # ANY [S1-9] tag, ALTERNATE segments between the two sides (the leading
+    # pre-tag segment counts) — side labels are arbitrary; cpWER minimizes
+    # over the permutation, so only the grouping matters
     turns = split_dialog_turns("[S1] hi there [S2] hello [S1] bye")
-    assert turns["[S1]"] == "hi there bye"
-    assert turns["[S2]"] == "hello"
+    assert sorted(turns.values()) == ["hello", "hi there bye"]
+    # untagged text must not be dropped
+    turns2 = split_dialog_turns("untagged lead [S2] hello")
+    assert sorted(turns2.values()) == ["hello", "untagged lead"]
     # perfect hypothesis with swapped speaker labels -> cpWER 0
     ref = "[S1] good morning [S2] how are you"
     hyp = "[S1] how are you [S2] good morning"
@@ -242,3 +248,18 @@ def test_cpsim_cli_stereo_offline(tmp_path, monkeypatch):
     score = float(lines[0].split("\t")[1])
     # swapped channels still score ~1 thanks to the permutation search
     assert score > 0.99
+
+
+def test_cpwer_matches_reference_protocol():
+    """cp_wer mirrors ref dialog.py process_one_cpwer: bracketed annotations
+    removed with contents, punctuation deleted, WER over the concatenated
+    two-speaker strings."""
+    from zipvoice_tpu.eval.metrics import post_process_dialog
+
+    # annotation contents do NOT count as spoken words
+    ref = "[S1] hi [laughter] there. [S2] hello!"
+    hyp = "[S1] hi there [S2] hello"
+    assert cp_wer(ref, hyp) == 0.0
+    # post_process: ZH chars split, EN lowercased, apostrophe kept
+    assert post_process_dialog("It's (noise) FINE.") == "it's fine"
+    assert post_process_dialog("你好，世界。", "zh") == "你 好 世 界"

@@ -56,10 +56,11 @@ def edit_ops(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
 
 
 def normalize_transcript(text: str) -> List[str]:
-    """ASR-style normalization: lowercase, strip punctuation, split."""
-    text = text.lower()
-    text = re.sub(r"[^\w\s']", " ", text)
-    return text.split()
+    """The LibriSpeech/hubert protocol's normalization exactly
+    (ref eval/wer/hubert.py:99-100): lowercase, every non-[a-zA-Z0-9']
+    char -> space, collapse whitespace."""
+    text = re.sub(r"[^a-zA-Z0-9']", " ", text.lower())
+    return re.sub(r"\s+", " ", text).strip().split()
 
 
 def wer(ref_text: str, hyp_text: str) -> Tuple[float, int, int]:
@@ -82,32 +83,64 @@ def corpus_wer(pairs: Sequence[Tuple[str, str]]) -> float:
 
 
 def split_dialog_turns(text: str) -> Dict[str, str]:
-    """Split an [S1]/[S2]-tagged transcript into per-speaker concatenations
-    (ref eval/wer/dialog.py:215-273 cpWER preprocessing)."""
-    parts = re.split(r"(\[S[12]\])", text)
-    spk = None
-    out = {"[S1]": [], "[S2]": []}
-    for p in parts:
-        if p in ("[S1]", "[S2]"):
-            spk = p
-        elif spk is not None and p.strip():
-            out[spk].append(p.strip())
-    return {k: " ".join(v) for k, v in out.items()}
+    """Split a speaker-tagged transcript into two per-speaker
+    concatenations the way the reference does (ref eval/wer/dialog.py:
+    267-272 split_dialogue): split on ANY [S1-9] tag and ALTERNATE the
+    segments between the two speakers — untagged leading text lands on
+    speaker one rather than being dropped, and unexpected tags ([S3]...)
+    still alternate.  cpWER minimizes over the speaker permutation, so
+    the arbitrary starting assignment is harmless."""
+    segments = [s.strip() for s in re.split(r"\[S[1-9]\]", text)]
+    return {
+        "[S1]": " ".join(s for s in segments[::2] if s),
+        "[S2]": " ".join(s for s in segments[1::2] if s),
+    }
 
 
-def cp_wer(ref_text: str, hyp_text: str) -> float:
-    """Concatenated-minimum-permutation WER over the two-speaker split
-    (ref eval/wer/dialog.py): min WER over speaker assignments."""
+_DIALOG_BRACKETS = re.compile(r"\[.*?\]|<.*?>|\(.*?\)")
+
+
+def post_process_dialog(text: str, lang: str = "en") -> str:
+    """The dialog protocol's text cleanup (ref eval/wer/dialog.py:154-178):
+    bracketed/parenthesized annotations removed WITH their contents, all
+    punctuation except the apostrophe deleted, whitespace collapsed; ZH
+    splits to characters, EN lowercases."""
+    import string as _string
+    import unicodedata
+
+    text = _DIALOG_BRACKETS.sub("", text)
+    for x in _string.punctuation:
+        if x != "'":
+            text = text.replace(x, "")
+    # CJK/fullwidth punctuation (the reference's zhon.hanzi.punctuation)
+    text = "".join(
+        c for c in text
+        if not (unicodedata.category(c).startswith("P") and c != "'")
+    )
+    text = re.sub(r"\s+", " ", text).strip()
+    if lang == "zh":
+        text = " ".join(text)
+    else:
+        text = text.lower()
+    return text
+
+
+def cp_wer(ref_text: str, hyp_text: str, lang: str = "en") -> float:
+    """Concatenated-minimum-permutation WER (ref eval/wer/dialog.py:
+    215-265 process_one_cpwer): per-speaker split -> dialog post_process ->
+    WER over the CONCATENATED two-speaker strings, minimized over the two
+    speaker assignments."""
     ref = split_dialog_turns(ref_text)
     hyp = split_dialog_turns(hyp_text)
+    r1 = post_process_dialog(ref["[S1]"], lang)
+    r2 = post_process_dialog(ref["[S2]"], lang)
+    h1 = post_process_dialog(hyp["[S1]"], lang)
+    h2 = post_process_dialog(hyp["[S2]"], lang)
+    ref_words = f"{r1} {r2}".split()
     best = float("inf")
-    for perm in permutations(["[S1]", "[S2]"]):
-        errs, total = 0, 0
-        for r_spk, h_spk in zip(["[S1]", "[S2]"], perm):
-            _, e, n = wer(ref[r_spk], hyp[h_spk])
-            errs += e
-            total += n
-        best = min(best, errs / max(total, 1))
+    for hyp_cat in (f"{h1} {h2}", f"{h2} {h1}"):
+        errs = edit_distance(ref_words, hyp_cat.split())
+        best = min(best, errs / max(len(ref_words), 1))
     return best
 
 

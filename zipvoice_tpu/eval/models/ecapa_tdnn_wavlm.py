@@ -93,11 +93,13 @@ class _Res2ConvReluBn(nn.Module):
     def forward(self, x: Tensor) -> Tensor:
         groups = torch.split(x, self.width, dim=1)
         out: List[Tensor] = []
-        acc = None
+        sp = None
         for i, (conv, bn) in enumerate(zip(self.convs, self.bns)):
-            acc = groups[i] if acc is None else acc + groups[i]
-            acc = conv(acc)
-            out.append(bn(F.relu(acc)))
+            sp = groups[i] if sp is None else sp + groups[i]
+            # the carry between groups is the POST bn(relu(conv)) output
+            # (ref ecapa_tdnn_wavlm.py:189-200)
+            sp = bn(F.relu(conv(sp)))
+            out.append(sp)
         if self.scale > 1:
             out.append(groups[-1])
         return torch.cat(out, dim=1)

@@ -87,19 +87,11 @@ class SpeakerEncoder:
 
 
 def cp_sim(encoder, gen_tracks, prompt_tracks, sr: int) -> float:
-    """Best-permutation per-speaker similarity (ref cpsim.py): gen_tracks and
-    prompt_tracks are per-speaker waveform lists (2 each)."""
-    from zipvoice_tpu.eval.metrics import cosine_similarity
+    """Best-permutation per-speaker similarity (ref cpsim.py) — thin alias
+    over the cpSIM CLI's implementation so there is one scorer to maintain."""
+    from zipvoice_tpu.eval.cpsim import cp_sim_tracks
 
-    g = [encoder.embed(w, sr) for w in gen_tracks]
-    p = [encoder.embed(w, sr) for w in prompt_tracks]
-    best = -1.0
-    for perm in permutations(range(len(p))):
-        score = float(
-            np.mean([cosine_similarity(g[i], p[j]) for i, j in enumerate(perm)])
-        )
-        best = max(best, score)
-    return best
+    return cp_sim_tracks(encoder, gen_tracks, sr, prompt_tracks, sr)
 
 
 def main():

@@ -69,7 +69,36 @@ def load_asr(model_key: str, model_dir: str = None):
 
         return transcribe
 
-    if model_key in ("whisper", "whisperd"):
+    if model_key == "whisperd":
+        # WhisperD emits its own [S1]/[S2]-tagged format: the forced
+        # english/transcribe prompt must be CLEARED and long dialogs decode
+        # through the chunked pipeline (ref eval/wer/dialog.py:118-136)
+        from transformers import (
+            WhisperForConditionalGeneration,
+            WhisperProcessor,
+            WhisperTokenizer,
+            pipeline,
+        )
+
+        src = local or ASR_HUB_IDS["whisper"]
+        processor = WhisperProcessor.from_pretrained(src)
+        tokenizer = WhisperTokenizer.from_pretrained(src)
+        model = WhisperForConditionalGeneration.from_pretrained(src)
+        model.eval()
+        model.generation_config.suppress_tokens = None
+        model.generation_config.forced_decoder_ids = None
+        pipe = pipeline(
+            "automatic-speech-recognition", model=model, tokenizer=tokenizer,
+            feature_extractor=processor.feature_extractor, chunk_length_s=30,
+        )
+
+        def transcribe(wav, wav_path):
+            return pipe({"array": np.asarray(wav),
+                         "sampling_rate": 16000})["text"]
+
+        return transcribe
+
+    if model_key == "whisper":
         import torch
         from transformers import (
             WhisperForConditionalGeneration,
@@ -105,24 +134,35 @@ def load_asr(model_key: str, model_dir: str = None):
     return transcribe
 
 
-def score_pairs(pairs, lang: str, dialog: bool = False):
+def score_pairs(pairs, lang: str, dialog: bool = False,
+                protocol: str = "seedtts"):
     """pairs: [(name, ref_text, hyp_text)].  Returns a dict of aggregates and
-    per-utt rows; Seed-TTS normalization applied here."""
-    from zipvoice_tpu.eval.metrics import cp_wer, edit_ops
+    per-utt rows.  protocol selects the normalization: "seedtts"
+    (punctuation deleted, ZH char-split — ref eval/wer/seedtts.py) or
+    "hubert" (LibriSpeech protocol: non-alnum -> space —
+    ref eval/wer/hubert.py:99-100)."""
+    from zipvoice_tpu.eval.metrics import cp_wer, edit_ops, normalize_transcript
     from zipvoice_tpu.text.zh import seedtts_normalize
 
     rows = []
     wers, subs_t, dels_t, inss_t, words_t = [], 0, 0, 0, 0
     for name, ref_text, hyp_text in pairs:
         if dialog:
-            w = cp_wer(ref_text, hyp_text)
+            w = cp_wer(ref_text, hyp_text, lang)
             rows.append((name, w, ref_text, hyp_text))
             wers.append(w)
             words_t += max(len(ref_text.split()), 1)
             continue
-        ref_n = seedtts_normalize(ref_text, lang)
-        hyp_n = seedtts_normalize(hyp_text, lang)
-        ref_w, hyp_w = ref_n.split(" "), hyp_n.split(" ")
+        if protocol == "hubert":
+            ref_w = normalize_transcript(ref_text)
+            hyp_w = normalize_transcript(hyp_text)
+            ref_n, hyp_n = " ".join(ref_w), " ".join(hyp_w)
+        else:
+            ref_n = seedtts_normalize(ref_text, lang)
+            hyp_n = seedtts_normalize(hyp_text, lang)
+            # empty tokens from double spaces are not words (jiwer drops them)
+            ref_w = [w for w in ref_n.split(" ") if w]
+            hyp_w = [w for w in hyp_n.split(" ") if w]
         s, d, i = edit_ops(ref_w, hyp_w)
         n = len(ref_w)
         w = (s + d + i) / max(n, 1)
@@ -188,7 +228,8 @@ def main():
                 hyp = traditional_to_simplified(hyp)
             pairs.append((name, text, hyp))
 
-    res = score_pairs(pairs, lang, dialog=dialog)
+    res = score_pairs(pairs, lang, dialog=dialog,
+                      protocol="hubert" if args.model == "hubert" else "seedtts")
     metric = "cpWER" if dialog else "WER"
     logging.info("Seed-TTS %s (avg of per-utt): %.2f%%",
                  metric, res["wer_avg"] * 100)

@@ -128,12 +128,21 @@ def _cn_four_digits(n: int) -> str:
     return s
 
 
+_CN_DIGITS_PLAIN = "零一二三四五六七八九"
+
+
 def int_to_chinese(n: int) -> str:
-    """Integer -> Chinese numerals, cn2an style: 10500 -> 一万零五百."""
+    """Integer -> Chinese numerals, cn2an style: 10500 -> 一万零五百.
+
+    Values at/beyond 10^16 exceed the 万/亿/万亿 group names (and are
+    read digit-by-digit in practice — long IDs, phone-number-like
+    strings), so they verbalize per digit instead of raising."""
     if n < 0:
         return "负" + int_to_chinese(-n)
     if n == 0:
         return "零"
+    if n >= 10 ** 16:
+        return "".join(_CN_DIGITS_PLAIN[int(d)] for d in str(n))
     groups = []
     while n > 0:
         groups.append(n % 10000)

@@ -315,7 +315,7 @@ WORD_PINYIN: Dict[str, List[str]] = {
 # technical/relationship words where it keeps tone 3
 _ZI3_WORDS = frozenset(
     "电子 分子 原子 量子 离子 粒子 中子 质子 孢子 父子 母子 男子 女子 王子 "
-    "孔子 老子 孟子 庄子 弟子 君子 骨子 种子基金".split()
+    "孔子 老子 孟子 庄子 弟子 君子 骨子 种子".split()
 )
 
 
