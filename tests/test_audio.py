@@ -157,3 +157,28 @@ def test_extract_features_shapes_and_frames():
     a = np.asarray(extract_features(w, cfg, num_channels=1))
     b = np.asarray(extract_features(w.mean(0), cfg, num_channels=1))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_probe_wav_header_only(tmp_path):
+    """probe_wav reads only headers and accepts every format read_wav does
+    (incl. IEEE float, which the stdlib wave module rejects)."""
+    import struct
+
+    from zipvoice_tpu.audio.wav import probe_wav, read_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 12345)) * 0.1).astype(np.float32)
+    p16 = tmp_path / "pcm16.wav"
+    write_wav(p16, x, 24000)
+    assert probe_wav(p16) == (24000, 12345, 2)
+
+    # hand-build an IEEE-float WAV (format code 3)
+    body = x.T.astype("<f4").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 16000, 16000 * 8, 8, 32)
+    hdr += b"data" + struct.pack("<I", len(body))
+    pf = tmp_path / "float.wav"
+    pf.write_bytes(hdr + body)
+    assert probe_wav(pf) == (16000, 12345, 2)
+    wav, sr = read_wav(pf)  # and read_wav agrees
+    assert sr == 16000 and wav.shape == (2, 12345)

@@ -312,3 +312,53 @@ def test_prefetch_batches_matches_inline_and_resumes(corpus):
     sampler_c.load_state_dict(state)
     rest = [ident(b) for b in sampler_c]
     assert rest == inline[1:]
+
+
+def test_manifest_token_columns_and_host_sharding(tmp_path, corpus):
+    """4/6-column manifests carry offline tokens into the collator without
+    re-tokenizing; per-host sharding hands every host the SAME batch count
+    (SPMD collective alignment)."""
+    from zipvoice_tpu.data.dataset import (
+        DurationBucketSampler,
+        read_tsv_manifest,
+    )
+
+    utts = read_tsv_manifest(corpus / "train.tsv")
+    # write a 6-col variant with fake offline tokens
+    six = tmp_path / "six.tsv"
+    with open(six, "w") as f:
+        for u in utts:
+            f.write(f"{u.uid}\t{u.text}\t{u.wav_path}\t0.0\t"
+                    f"{u.duration or 1.0}\ta b c\n")
+    loaded = read_tsv_manifest(six)
+    assert all(u.token_strs == ["a", "b", "c"] for u in loaded)
+
+    # equal batch counts across hosts
+    counts = []
+    for pi in range(3):
+        s = DurationBucketSampler(utts, max_duration=3.0, seed=1,
+                                  process_index=pi, process_count=3)
+        counts.append(len(s))
+    assert len(set(counts)) == 1
+
+
+def test_prefetch_close_releases_producer(corpus):
+    """Breaking a prefetch loop early must not leave the producer thread
+    blocked (close() drains and stops it)."""
+    import threading
+
+    from zipvoice_tpu.data.dataset import (
+        DurationBucketSampler,
+        read_tsv_manifest,
+    )
+    from zipvoice_tpu.data.prefetch import PrefetchBatches
+
+    utts = read_tsv_manifest(corpus / "train.tsv")
+    sampler = DurationBucketSampler(utts, max_duration=2.0, seed=0)
+    before = threading.active_count()
+    batches = PrefetchBatches(sampler, lambda b: len(b), depth=1)
+    next(iter(batches))  # consume one, then abandon
+    batches.close()
+    batches._it._thread.join(timeout=5)
+    assert not batches._it._thread.is_alive()
+    assert threading.active_count() <= before + 1

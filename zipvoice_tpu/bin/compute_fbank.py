@@ -60,6 +60,11 @@ def main():
 
     for u in utts:
         wav, sr = read_wav(u.wav_path)
+        # 5-column segment manifests: featurize only [start, start+duration)
+        # (the on-device collator slices the same way — dataset.load_audio)
+        if u.duration is not None and (u.start or u.duration):
+            a = int(u.start * sr)
+            wav = wav[:, a : a + int(u.duration * sr)]
         if sr != feat_cfg.sampling_rate:
             wav = resample(wav, sr, feat_cfg.sampling_rate)
         feats = np.asarray(

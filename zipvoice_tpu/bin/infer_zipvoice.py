@@ -165,10 +165,15 @@ def main():
             t_shift=args.t_shift, target_rms=args.target_rms, seed=args.seed,
         )
         write_wav(out_path, res.wav, sr)
+        m = res.metrics
+        # synthesize_long reports chunked totals without the per-stage split
         logging.info(
             "%s: %.2fs audio, rtf %.4f (model %.4f, vocoder %.4f)",
-            out_path, res.metrics["wav_seconds"], res.metrics["rtf"],
-            res.metrics["rtf_no_vocoder"], res.metrics["rtf_vocoder"],
+            out_path, m["wav_seconds"], m["rtf"],
+            m.get("rtf_no_vocoder",
+                  m.get("t_no_vocoder", 0.0) / max(m["wav_seconds"], 1e-9)),
+            m.get("rtf_vocoder",
+                  m.get("t_vocoder", 0.0) / max(m["wav_seconds"], 1e-9)),
         )
         return res.metrics
 

@@ -63,7 +63,18 @@ def main():
             write_wav(new_path, wav, args.sampling_rate)
             u.wav_path = str(new_path)
             sr = args.sampling_rate
-        u.duration = wav.shape[-1] / sr
+        file_secs = wav.shape[-1] / sr
+        if u.duration is None:
+            # 3-column input: the text covers the whole file
+            u.duration = file_secs
+        elif u.start + u.duration > file_secs + 1e-3:
+            # 5-column segment: validate the provided bounds, keep them
+            logging.warning(
+                "drop %s: segment [%0.2f, %0.2f) beyond file end %0.2f",
+                u.uid, u.start, u.start + u.duration, file_secs,
+            )
+            dropped += 1
+            continue
         kept.append(u)
 
     out = out_dir / f"{args.prefix}_{args.subset}.tsv"

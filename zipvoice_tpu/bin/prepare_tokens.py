@@ -29,14 +29,21 @@ def main():
     from zipvoice_tpu.data.dataset import read_tsv_manifest
     from zipvoice_tpu.text.tokenizer import get_tokenizer
 
+    from zipvoice_tpu.data.dataset import probe_duration
+
     tokenizer = get_tokenizer(args.tokenizer, token_file=None, lang=args.lang)
     utts = read_tsv_manifest(args.manifest)
     tokens = tokenizer.texts_to_tokens([u.text for u in utts])
+    # 6-column output round-trips through read_tsv_manifest: the training
+    # collator consumes the trailing token column via Utterance.token_strs
+    # (string->id is a dict lookup; the expensive G2P ran here)
     with open(args.output, "w", encoding="utf-8") as f:
         for u, toks in zip(utts, tokens):
+            if u.duration is None:
+                probe_duration(u)
             f.write(
                 f"{u.uid}\t{u.text}\t{u.wav_path}\t{u.start}\t"
-                f"{u.duration or ''}\t{' '.join(toks)}\n"
+                f"{u.duration}\t{' '.join(toks)}\n"
             )
     logging.info("wrote %s (%d utterances)", args.output, len(utts))
 

@@ -79,18 +79,17 @@ def main():
     args = get_parser().parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
-    from zipvoice_tpu.bin._train_common import maybe_init_distributed
+    from zipvoice_tpu.bin._train_common import (
+        build_data,
+        copy_model_dir_contract,
+        maybe_init_distributed,
+    )
 
     maybe_init_distributed(args)
 
     import jax
 
     from zipvoice_tpu.config import load_model_json
-    from zipvoice_tpu.data.dataset import (
-        DurationBucketSampler,
-        OnDeviceFbankCollator,
-        read_tsv_manifest,
-    )
     from zipvoice_tpu.models.zipvoice import init_zipvoice
     from zipvoice_tpu.parallel.mesh import make_mesh
     from zipvoice_tpu.text.tokenizer import get_tokenizer
@@ -105,26 +104,9 @@ def main():
         pad_id=tokenizer.pad_id,
     )
 
-    # data
-    train_utts = read_tsv_manifest(args.train_manifest)
-    sampler = DurationBucketSampler(
-        train_utts, max_duration=args.max_duration, max_len=args.max_len,
-        min_len=args.min_len, seed=args.seed,
-        process_index=jax.process_index(), process_count=jax.process_count(),
+    sampler, collate, dev_batches = build_data(
+        args, tokenizer, feat_cfg, pad_id=model_cfg.pad_id
     )
-    collate = OnDeviceFbankCollator(
-        tokenizer, feat_cfg, pad_id=model_cfg.pad_id
-    )
-    dev_batches = None
-    if args.dev_manifest:
-        dev_utts = read_tsv_manifest(args.dev_manifest)
-        dev_sampler = DurationBucketSampler(
-            dev_utts, max_duration=args.max_duration, shuffle=False,
-            max_len=args.max_len, min_len=args.min_len,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        )
-        dev_batches = [collate(b) for b in dev_sampler]
 
     # model + optimizer
     params = init_zipvoice(jax.random.PRNGKey(args.seed), model_cfg)
@@ -185,14 +167,20 @@ def main():
         return
 
     if args.scan_oom:
-        # fwd+bwd the most pessimistic (longest total duration) batch first
-        # (ref train_zipvoice.py:808-858 find_pessimistic_batches)
+        # fwd+bwd+update the most pessimistic (longest total duration) batch
+        # first (ref train_zipvoice.py:808-858 find_pessimistic_batches —
+        # which does NOT mutate the model), then restore params/opt state
+        # from host snapshots so the recipe is unchanged
         batches = sampler.pessimistic_batches(1)
         if batches:
             logging.info("scan-oom: running the largest batch")
+            params_snap = jax.device_get(trainer.params)
+            opt_snap = jax.device_get(trainer.opt_state)
             trainer.step_and_log(collate(batches[0]))
+            trainer.params = jax.device_put(params_snap)
+            trainer.opt_state = jax.device_put(opt_snap)
             trainer.batch_idx_train = 0
-            logging.info("scan-oom: ok")
+            logging.info("scan-oom: ok (model state restored)")
 
     exp = Path(args.exp_dir)
     if args.start_epoch > 1:
@@ -203,11 +191,7 @@ def main():
                 sampler.load_state_dict(sampler_state)
             logging.info("resumed from %s", resume_path)
 
-    # copy the model-dir contract files (ref train_zipvoice.py:897-899)
-    if jax.process_index() == 0:
-        exp.mkdir(parents=True, exist_ok=True)
-        (exp / "model.json").write_text(Path(args.model_config).read_text())
-        (exp / "tokens.txt").write_text(Path(args.token_file).read_text())
+    copy_model_dir_contract(args, exp)
 
     from zipvoice_tpu.data.prefetch import PrefetchBatches
 
@@ -218,12 +202,15 @@ def main():
         # wav decode + fbank collation overlap the device step (the native IO
         # runtime releases the GIL, so one producer thread hides the latency)
         batches = PrefetchBatches(sampler, collate, depth=2)
-        for i, batch in enumerate(batches):
-            if args.num_steps_per_epoch and i >= args.num_steps_per_epoch:
-                break
-            trainer.step_and_log(
-                batch, dev_batches, sampler_state_fn=batches.state_dict
-            )
+        try:
+            for i, batch in enumerate(batches):
+                if args.num_steps_per_epoch and i >= args.num_steps_per_epoch:
+                    break
+                trainer.step_and_log(
+                    batch, dev_batches, sampler_state_fn=batches.state_dict
+                )
+        finally:
+            batches.close()  # release the producer on early break/exception
         trainer.save(str(exp / f"epoch-{epoch}.pt"), batches.state_dict())
         logging.info("saved epoch-%d.pt", epoch)
 

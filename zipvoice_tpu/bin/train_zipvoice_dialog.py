@@ -159,6 +159,7 @@ def main(stereo: bool = False):
                                      sampler_state_fn=batches.state_dict)
             if args.num_iters and trainer.batch_idx_train >= args.num_iters:
                 break
+        batches.close()  # release the producer on early break
         trainer.save(str(exp / f"epoch-{epoch}.pt"), batches.state_dict())
         if args.num_iters and trainer.batch_idx_train >= args.num_iters:
             break

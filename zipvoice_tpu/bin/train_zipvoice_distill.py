@@ -134,7 +134,8 @@ def main():
 
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         sampler.set_epoch(epoch)
-        for host_batch in PrefetchBatches(sampler, collate, depth=2):
+        batches = PrefetchBatches(sampler, collate, depth=2)
+        for host_batch in batches:
             step_idx += 1
             batch = shard_batch(mesh, host_batch)
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step_idx)
@@ -165,6 +166,7 @@ def main():
                 remove_checkpoints(str(exp), args.keep_last_k)
             if step_idx >= max_iters:
                 break
+        batches.close()  # release the producer on early break
         if step_idx >= max_iters:
             break
 

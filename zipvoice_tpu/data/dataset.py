@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import wave
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -30,6 +29,7 @@ class Utterance:
     start: float = 0.0
     duration: Optional[float] = None  # seconds; probed lazily if None
     tokens: Optional[List[int]] = None
+    token_strs: Optional[List[str]] = None  # offline tokenization (strings)
     sample_rate: Optional[int] = None  # cached by probe_duration
     num_samples: Optional[int] = None
 
@@ -45,17 +45,28 @@ def read_tsv_manifest(path) -> List[Utterance]:
             elif len(items) == 5:
                 uid, text, wav, start, dur = items
                 utts.append(Utterance(uid, text, wav, float(start), float(dur)))
+            elif len(items) == 4:
+                # bin/prepare_tokens output: trailing column = offline tokens
+                uid, text, wav, toks = items
+                utts.append(Utterance(uid, text, wav,
+                                      token_strs=toks.split(" ")))
+            elif len(items) == 6:
+                uid, text, wav, start, dur, toks = items
+                utts.append(Utterance(uid, text, wav, float(start), float(dur),
+                                      token_strs=toks.split(" ")))
             elif items and items[0]:
-                raise ValueError(f"manifest line needs 3 or 5 columns: {items}")
+                raise ValueError(
+                    f"manifest line needs 3-6 columns: {items}"
+                )
     return utts
 
 
 def probe_duration(utt: Utterance) -> float:
     if utt.duration is None:
-        with wave.open(utt.wav_path, "rb") as w:
-            utt.sample_rate = w.getframerate()
-            utt.num_samples = w.getnframes()
-            utt.duration = utt.num_samples / utt.sample_rate
+        from zipvoice_tpu.audio.wav import probe_wav
+
+        utt.sample_rate, utt.num_samples, _ = probe_wav(utt.wav_path)
+        utt.duration = utt.num_samples / utt.sample_rate
     return utt.duration
 
 
@@ -131,8 +142,11 @@ class DurationBucketSampler:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 7919 + self.epoch)
             rng.shuffle(batches)
-        # per-host shard
-        return batches[self.process_index :: self.process_count]
+        # per-host shard; truncate to an equal count per host — a host
+        # with one extra batch would issue collectives the others never
+        # join (end-of-epoch deadlock in multi-host SPMD)
+        usable = len(batches) - len(batches) % self.process_count
+        return batches[self.process_index:usable:self.process_count]
 
     def pessimistic_batches(self, n: int = 1) -> List[List[Utterance]]:
         """The n largest batches (by total audio seconds) of the current
@@ -284,6 +298,13 @@ class OnDeviceFbankCollator:
         from zipvoice_tpu.models.zipvoice import pad_labels
 
         hop = self.feat_cfg.hop_length
+        for u in utts:
+            # offline tokenization (bin/prepare_tokens): strings -> ids is a
+            # dict lookup; the expensive G2P already ran
+            if u.tokens is None and u.token_strs is not None:
+                u.tokens = self.tokenizer.tokens_to_token_ids(
+                    [u.token_strs]
+                )[0]
         if any(u.tokens is None for u in utts):
             token_lists = self.tokenizer.texts_to_token_ids(
                 [u.text for u in utts]

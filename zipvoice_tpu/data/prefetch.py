@@ -15,32 +15,66 @@ from typing import Callable, Iterator
 
 
 class PrefetchIterator:
-    """Wrap an iterator, materializing up to `depth` items ahead."""
+    """Wrap an iterator, materializing up to `depth` items ahead.
+
+    Safe against early exits: the producer's queue puts time out and check a
+    stop flag, so breaking out of a consuming loop (or dropping the
+    iterator) releases the thread and its buffered batches instead of
+    leaving it blocked in ``queue.put`` forever.  ``close()`` stops it
+    explicitly; iterating again after exhaustion raises StopIteration.
+    """
 
     _SENTINEL = object()
 
     def __init__(self, it: Iterator, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = threading.Event()
+        self._done = False
+
+        def put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in it:
-                    self._q.put(item)
+                    if not put(item):
+                        return
             except BaseException as ex:  # noqa: BLE001 — re-raised in consumer
                 self._err = ex
             finally:
-                self._q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         self._thread = threading.Thread(target=producer, daemon=True)
         self._thread.start()
+
+    def close(self):
+        """Stop the producer and drop buffered items."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __del__(self):  # release the thread if the consumer never finished
+        self._stop.set()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
@@ -78,6 +112,10 @@ class PrefetchBatches:
         batch, state = next(self._it)
         self._state = state
         return batch
+
+    def close(self):
+        """Release the producer thread (call after breaking out early)."""
+        self._it.close()
 
     def state_dict(self):
         """Sampler state as of the last batch returned by ``__next__``."""

@@ -51,8 +51,12 @@ class ModelAssets:
 
 
 def _find_checkpoint(model_dir: Path, checkpoint_name: Optional[str]) -> Path:
-    if checkpoint_name:
+    # every CLI defaults checkpoint_name to "model.pt": fall through to the
+    # safetensors lookup when that default doesn't exist on disk
+    if checkpoint_name and (model_dir / checkpoint_name).exists():
         return model_dir / checkpoint_name
+    if checkpoint_name and checkpoint_name != "model.pt":
+        raise FileNotFoundError(f"{model_dir / checkpoint_name} not found")
     for name in ("model.pt", "model.safetensors"):
         if (model_dir / name).exists():
             return model_dir / name
