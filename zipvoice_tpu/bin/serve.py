@@ -39,6 +39,10 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--warmup", action="store_true",
                    help="precompile the serving buckets before listening")
+    p.add_argument("--allow-custom-sampling", action="store_true",
+                   help="accept per-request num_step/guidance/t_shift "
+                        "(each distinct tuple compiles a new program; off "
+                        "by default to keep clients from driving compiles)")
     return p
 
 
@@ -64,6 +68,7 @@ def main():
         pipeline, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         num_step=num_step, guidance_scale=guidance_scale,
+        allow_custom_sampling=args.allow_custom_sampling,
     )
     try:
         server.serve_forever()

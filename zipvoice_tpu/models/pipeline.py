@@ -48,7 +48,9 @@ def round_up(x: int, m: int) -> int:
 @dataclasses.dataclass
 class SynthesisResult:
     wav: np.ndarray  # (L,) float32
-    features: np.ndarray  # (T_gen, F) generated mel (model scale removed)
+    # (T_gen, F) generated mel (model scale removed); None on the fused
+    # one-program path, which reads back only PCM16
+    features: Optional[np.ndarray]
     metrics: Dict[str, float]
 
 
@@ -372,6 +374,21 @@ class ZipVoicePipeline:
         # host arithmetic — the request runs sync-free until the wav readback
         return mel[0], batch.gen_len
 
+    def _decode_i16(self, vparams, mel, dtype):
+        """Traced helper shared by the fused and split serving programs:
+        vocoder dispatch + clip + PCM16 quantize."""
+        if self.vocoder == "bigvgan":
+            from zipvoice_tpu.audio.bigvgan import (
+                BigVGANConfig,
+                bigvgan_decode,
+            )
+
+            wav = bigvgan_decode(vparams, mel.astype(dtype), BigVGANConfig())
+        else:
+            wav = vocos_decode(vparams, mel.astype(dtype), self.vocos_cfg)
+        wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+        return jnp.round(wav * 32767.0).astype(jnp.int16)
+
     @functools.lru_cache(maxsize=32)
     def _sample_pcm_fn(self, num_step: int, guidance_scale: float,
                        t_shift: float):
@@ -383,8 +400,7 @@ class ZipVoicePipeline:
         (ref infer_zipvoice_onnx.py:357-377); here the whole request is a
         single XLA program."""
         sample = self._sample_fn(num_step, guidance_scale, t_shift)
-        vcfg = self.vocos_cfg
-        kind = self.vocoder
+        decode = self._decode_i16
 
         @jax.jit
         def run(params, vparams, tokens_padded, tokens_lens, prompt_features,
@@ -393,18 +409,7 @@ class ZipVoicePipeline:
                 params, tokens_padded, tokens_lens, prompt_features,
                 prompt_features_lens, features_lens, noise,
             )
-            if kind == "bigvgan":
-                from zipvoice_tpu.audio.bigvgan import (
-                    BigVGANConfig,
-                    bigvgan_decode,
-                )
-
-                wav = bigvgan_decode(vparams, mel.astype(noise.dtype),
-                                     BigVGANConfig())
-            else:
-                wav = vocos_decode(vparams, mel.astype(noise.dtype), vcfg)
-            wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
-            return jnp.round(wav * 32767.0).astype(jnp.int16), gen_lens
+            return decode(vparams, mel, noise.dtype), gen_lens
 
         return run
 
@@ -420,15 +425,28 @@ class ZipVoicePipeline:
         t_shift: float = 0.5,
         target_rms: float = 0.1,
         seed: int = 666,
+        precomputed: Optional[Dict] = None,
     ) -> SynthesisResult:
         """synthesize() through the fused one-program path (no model/vocoder
-        split in the metrics — the two stages are one XLA computation)."""
-        assert self.tokenizer is not None, "pipeline needs a tokenizer"
+        split in the metrics — the two stages are one XLA computation).
+
+        ``precomputed`` may carry {"tokens", "prompt_tokens",
+        "prompt_feats", "prompt_rms"} prepared off-thread (the serving
+        handlers tokenize/fbank per request so the dispatcher thread only
+        launches device programs)."""
         assert self.vocos_params is not None, "pipeline needs vocoder weights"
         t0 = time.monotonic()
-        tokens = self.tokenizer.texts_to_token_ids([text])[0]
-        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
-        pf, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
+        if precomputed is not None:
+            tokens = precomputed["tokens"]
+            prompt_tokens = precomputed["prompt_tokens"]
+            pf = precomputed["prompt_feats"]
+            prompt_rms = precomputed["prompt_rms"]
+        else:
+            assert self.tokenizer is not None, "pipeline needs a tokenizer"
+            tokens = self.tokenizer.texts_to_token_ids([text])[0]
+            prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+            pf, prompt_rms = self.prompt_features(prompt_wav, prompt_sr,
+                                                  target_rms)
         batch = self._prepare_sample_inputs(tokens, prompt_tokens, pf, speed, seed)
         run = self._sample_pcm_fn(int(num_step), float(guidance_scale),
                                   float(t_shift))
@@ -450,23 +468,11 @@ class ZipVoicePipeline:
     def _vocode_i16_fn(self):
         """Vocoder emitting PCM16: halves the device->host wav transfer,
         which dominates vocoding wall time on remote-attached chips."""
-        vcfg = self.vocos_cfg
-
-        kind = self.vocoder
+        decode = self._decode_i16
 
         @jax.jit
         def run(vparams, mel):
-            if kind == "bigvgan":
-                from zipvoice_tpu.audio.bigvgan import (
-                    BigVGANConfig,
-                    bigvgan_decode,
-                )
-
-                wav = bigvgan_decode(vparams, mel, BigVGANConfig())
-            else:
-                wav = vocos_decode(vparams, mel, vcfg)
-            wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
-            return jnp.round(wav * 32767.0).astype(jnp.int16)
+            return decode(vparams, mel, mel.dtype)
 
         return run
 
@@ -483,6 +489,7 @@ class ZipVoicePipeline:
         target_rms: float = 0.1,
         seed: int = 666,
         seeds=None,
+        precomputed=None,
     ):
         """Serve several requests in ONE compiled program call (the reference
         infers strictly one sentence at a time, ref infer_zipvoice.py:420-470;
@@ -495,19 +502,26 @@ class ZipVoicePipeline:
 
         Returns a list of SynthesisResult (metrics carry the batch totals).
         """
-        assert self.tokenizer is not None
         n = len(texts)
         t0 = time.monotonic()
-        token_lists = self.tokenizer.texts_to_token_ids(list(texts))
-        prompt_token_lists = self.tokenizer.texts_to_token_ids(
-            list(prompt_texts)
-        )
-        feats = []
-        rmss = []
-        for wav, sr in zip(prompt_wavs, prompt_srs):
-            f, r = self.prompt_features(wav, sr, target_rms)
-            feats.append(f)
-            rmss.append(r)
+        if precomputed is not None:
+            # per-request dicts like synthesize_fused's ``precomputed``
+            token_lists = [p["tokens"] for p in precomputed]
+            prompt_token_lists = [p["prompt_tokens"] for p in precomputed]
+            feats = [p["prompt_feats"] for p in precomputed]
+            rmss = [p["prompt_rms"] for p in precomputed]
+        else:
+            assert self.tokenizer is not None
+            token_lists = self.tokenizer.texts_to_token_ids(list(texts))
+            prompt_token_lists = self.tokenizer.texts_to_token_ids(
+                list(prompt_texts)
+            )
+            feats = []
+            rmss = []
+            for wav, sr in zip(prompt_wavs, prompt_srs):
+                f, r = self.prompt_features(wav, sr, target_rms)
+                feats.append(f)
+                rmss.append(r)
 
         cats = [list(p) + list(t) for p, t in zip(prompt_token_lists, token_lists)]
         prompt_lens = [f.shape[0] for f in feats]
@@ -539,7 +553,7 @@ class ZipVoicePipeline:
                     jax.random.PRNGKey(s), (t_pad, self.model_cfg.feat_dim),
                     self.dtype,
                 )
-            )(jnp.asarray(seeds, jnp.uint32))
+            )(jnp.asarray([s & 0xFFFFFFFF for s in seeds], jnp.uint32))
 
         run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
         mel, gen_lens = run(

@@ -57,6 +57,7 @@ class _Request:
     speed: float
     t_shift: float
     seed: int
+    precomputed: Optional[Dict] = None  # tokens/prompt feats (HTTP thread)
     done: threading.Event = field(default_factory=threading.Event)
     wav: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -92,6 +93,9 @@ class DynamicBatcher:
         self.q.put(req)
         if not req.done.wait(timeout):
             req.error = req.error or "timeout"
+            # mark abandoned so the dispatcher's shed filter drops it
+            # instead of synthesizing for a client that already got a 500
+            req.done.set()
         return req
 
     def shutdown(self):
@@ -171,18 +175,26 @@ class DynamicBatcher:
                 text=r.text, prompt_text=r.prompt_text,
                 prompt_wav=r.prompt_wav, prompt_sr=r.prompt_sr,
                 num_step=num_step, guidance_scale=gs, speed=speed,
-                t_shift=t_shift, seed=r.seed,
+                t_shift=t_shift, seed=r.seed, precomputed=r.precomputed,
             )
             r.wav = res.wav
             return
+        # pad the group to the warmed batch size by repeating the last
+        # request: group sizes 2..max_batch-1 would otherwise each compile a
+        # fresh (minutes-long) program at request time
+        padded = group + [group[-1]] * (self.max_batch - len(group))
         results = self.pipeline.synthesize_batch(
-            texts=[r.text for r in group],
-            prompt_texts=[r.prompt_text for r in group],
-            prompt_wavs=[r.prompt_wav for r in group],
-            prompt_srs=[r.prompt_sr for r in group],
+            texts=[r.text for r in padded],
+            prompt_texts=[r.prompt_text for r in padded],
+            prompt_wavs=[r.prompt_wav for r in padded],
+            prompt_srs=[r.prompt_sr for r in padded],
             num_step=num_step, guidance_scale=gs, speed=speed,
             t_shift=t_shift,
-            seeds=[r.seed for r in group],
+            seeds=[r.seed for r in padded],
+            precomputed=(
+                [r.precomputed for r in padded]
+                if all(r.precomputed is not None for r in padded) else None
+            ),
         )
         for r, res in zip(group, results):
             r.wav = res.wav
@@ -193,12 +205,14 @@ class TTSServer:
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 8, max_wait_ms: float = 30.0,
-                 num_step: int = 16, guidance_scale: float = 1.0):
+                 num_step: int = 16, guidance_scale: float = 1.0,
+                 allow_custom_sampling: bool = False):
         self.batcher = DynamicBatcher(
             pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
             default_num_step=num_step, default_guidance=guidance_scale,
         )
         self.pipeline = pipeline
+        self.strict_sampling = not allow_custom_sampling
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_port  # resolved when port=0
@@ -296,15 +310,53 @@ class TTSServer:
         wav_b = base64.b64decode(payload["prompt_wav_b64"])
         prompt_wav, prompt_sr = read_wav_bytes(wav_b)
         b = self.batcher
-        return _Request(
+        num_step = int(payload.get("num_step", b.default_num_step))
+        gs = float(payload.get("guidance_scale", b.default_guidance))
+        t_shift = float(payload.get("t_shift", 0.5))
+        if self.strict_sampling and (
+            num_step != b.default_num_step or gs != b.default_guidance
+            or t_shift != 0.5
+        ):
+            # every distinct (num_step, gs, t_shift) tuple is a separate
+            # compiled program (minutes on a cold chip) — reject rather
+            # than let clients drive compiles (start with
+            # allow_custom_sampling=True to opt out)
+            raise ValueError(
+                "custom sampling params disabled on this server "
+                f"(pinned: num_step={b.default_num_step}, "
+                f"guidance_scale={b.default_guidance}, t_shift=0.5)"
+            )
+        if not 1 <= num_step <= 64:
+            raise ValueError(f"num_step out of range: {num_step}")
+        if not 0.0 <= gs <= 10.0:
+            raise ValueError(f"guidance_scale out of range: {gs}")
+        if not 0.0 < t_shift <= 1.0:
+            raise ValueError(f"t_shift out of range: {t_shift}")
+        speed = float(payload.get("speed", 1.0))
+        if not 0.25 <= speed <= 4.0:
+            raise ValueError(f"speed out of range: {speed}")
+        req = _Request(
             text=str(payload["text"]),
             prompt_text=str(payload["prompt_text"]),
             prompt_wav=prompt_wav,
             prompt_sr=prompt_sr,
-            num_step=int(payload.get("num_step", b.default_num_step)),
-            guidance_scale=float(payload.get("guidance_scale",
-                                             b.default_guidance)),
-            speed=float(payload.get("speed", 1.0)),
-            t_shift=float(payload.get("t_shift", 0.5)),
-            seed=int(payload.get("seed", 666)),
+            num_step=num_step,
+            guidance_scale=gs,
+            speed=speed,
+            t_shift=t_shift,
+            seed=int(payload.get("seed", 666)) & 0xFFFFFFFF,
         )
+        # tokenize + prompt fbank HERE (per-request HTTP thread) so the
+        # single dispatcher thread only launches device programs
+        if self.pipeline.tokenizer is not None:
+            tok = self.pipeline.tokenizer
+            pf, prompt_rms = self.pipeline.prompt_features(
+                req.prompt_wav, req.prompt_sr
+            )
+            req.precomputed = {
+                "tokens": tok.texts_to_token_ids([req.text])[0],
+                "prompt_tokens": tok.texts_to_token_ids([req.prompt_text])[0],
+                "prompt_feats": pf,
+                "prompt_rms": prompt_rms,
+            }
+        return req
