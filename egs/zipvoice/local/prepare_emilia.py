@@ -72,7 +72,7 @@ def keep_text(text: str, duration=None) -> bool:
     if not english and not chinese:
         return False
     words = tokenize_by_cjk_char("".join(clean))
-    for i in range(len(words) - 10):
+    for i in range(len(words) - 9):
         if words[i:i + 10].count(words[i]) == 10:
             return False
     if duration is not None and words:

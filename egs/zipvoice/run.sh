@@ -29,13 +29,18 @@ if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   python -m zipvoice_tpu.bin.prepare_tokens \
     --manifest $data_dir/custom_train.tsv \
     --output $data_dir/custom_train_tokens.tsv --tokenizer emilia
+  python -m zipvoice_tpu.bin.prepare_tokens \
+    --manifest $data_dir/custom_dev.tsv \
+    --output $data_dir/custom_dev_tokens.tsv --tokenizer emilia
 fi
 
 if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
   echo "Stage 2: train (fbank computed on device; no precompute stage)"
+  # the *_tokens.tsv manifests carry the offline tokens (stage 1), so
+  # training skips G2P; swap to custom_{train,dev}.tsv to tokenize lazily
   python -m zipvoice_tpu.bin.train_zipvoice \
-    --train-manifest $data_dir/custom_train.tsv \
-    --dev-manifest $data_dir/custom_dev.tsv \
+    --train-manifest $data_dir/custom_train_tokens.tsv \
+    --dev-manifest $data_dir/custom_dev_tokens.tsv \
     --token-file $tokens --tokenizer emilia \
     --model-config $config --exp-dir $exp_dir \
     --num-epochs $num_epochs --max-duration 250 \

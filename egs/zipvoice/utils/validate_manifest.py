@@ -8,7 +8,9 @@ TSV manifest contract (id\ttext\twav_path[\tstart\tend]):
 * unique, non-empty ids;
 * non-empty text;
 * wav files exist (optional --check-files to stat each one);
-* start/end sane when present (0 <= start < end).
+* start/end sane when present (0 <= start < end);
+* 4/6-column manifests (trailing offline-tokens column from
+  bin/prepare_tokens) accepted.
 
 Usage:  python utils/validate_manifest.py data/raw/train.tsv [--check-files]
 """
@@ -27,8 +29,8 @@ def validate(path: str, check_files: bool = False) -> int:
             if not line:
                 continue
             parts = line.split("\t")
-            if len(parts) not in (3, 5):
-                print(f"{path}:{ln}: expected 3 or 5 columns, got {len(parts)}")
+            if len(parts) not in (3, 4, 5, 6):
+                print(f"{path}:{ln}: expected 3-6 columns, got {len(parts)}")
                 errors += 1
                 continue
             uid, text, wav = parts[0], parts[1], parts[2]
@@ -45,7 +47,7 @@ def validate(path: str, check_files: bool = False) -> int:
             if check_files and not Path(wav).is_file():
                 print(f"{path}:{ln}: missing wav {wav!r}")
                 errors += 1
-            if len(parts) == 5:
+            if len(parts) in (5, 6):
                 try:
                     start, end = float(parts[3]), float(parts[4])
                     if not (0 <= start < end):

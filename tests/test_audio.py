@@ -182,3 +182,32 @@ def test_probe_wav_header_only(tmp_path):
     assert probe_wav(pf) == (16000, 12345, 2)
     wav, sr = read_wav(pf)  # and read_wav agrees
     assert sr == 16000 and wav.shape == (2, 12345)
+
+
+def test_wav_extensible_float_decodes_correctly(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE resolves the real format from the SubFormat
+    GUID — an extensible IEEE-float file must decode as float, not be
+    reinterpreted as int32 PCM."""
+    import struct
+
+    from zipvoice_tpu.audio.wav import read_wav
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, 4096)) * 0.3).astype(np.float32)
+    body = x.T.astype("<f4").tobytes()
+    # fmt chunk: WAVE_FORMAT_EXTENSIBLE (0xFFFE) + 22-byte extension whose
+    # SubFormat GUID starts with 0x0003 (IEEE float)
+    guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+         0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack("<HHIIHHH", 0xFFFE, 1, 24000, 24000 * 4, 4, 32, 22)
+    fmt += struct.pack("<HI", 32, 0x4) + guid
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(fmt) - 16 + len(body))
+    hdr += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(body))
+    p = tmp_path / "ext_float.wav"
+    p.write_bytes(hdr + body)
+    wav, sr = read_wav(p)
+    assert sr == 24000
+    np.testing.assert_allclose(wav, x, atol=1e-7)

@@ -29,20 +29,25 @@ def read_wav_bytes(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]
     pos = 12
     fmt = None
     raw = None
+    subformat = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+                # word of the SubFormat GUID (fmt-chunk offset 24)
+                subformat = struct.unpack("<H", body[24:26])[0]
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits in (16, 24, 32) else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = subformat if subformat in (1, 3) else 1
 
     if audio_format == 1:  # PCM
         if bits == 16:

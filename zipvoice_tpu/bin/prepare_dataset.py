@@ -4,7 +4,7 @@ The reference converts TSVs into lhotse CutSets (ref bin/prepare_dataset.py);
 here manifests stay TSV (the pipeline consumes them directly with on-device
 fbank), so preparation = validation + duration probing + optional resampling
 to the target rate, emitting a normalized 5-column TSV:
-``id\\ttext\\twav_path\\tstart\\tduration``.
+``id\\ttext\\twav_path\\tstart\\tend`` (the reference's segment contract).
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ from pathlib import Path
 def get_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tsv-path", type=str, required=True,
-                   help="input TSV: id\\ttext\\twav[\\tstart\\tduration]")
+                   help="input TSV: id\\ttext\\twav[\\tstart\\tend]")
     p.add_argument("--prefix", type=str, default="custom")
     p.add_argument("--subset", type=str, default="train")
     p.add_argument("--sampling-rate", type=int, default=24000,
@@ -80,7 +80,8 @@ def main():
     out = out_dir / f"{args.prefix}_{args.subset}.tsv"
     with open(out, "w", encoding="utf-8") as f:
         for u in kept:
-            f.write(f"{u.uid}\t{u.text}\t{u.wav_path}\t{u.start}\t{u.duration}\n")
+            f.write(f"{u.uid}\t{u.text}\t{u.wav_path}\t{u.start}\t"
+                    f"{u.start + u.duration}\n")
     logging.info("wrote %s: %d utterances (%d dropped)", out, len(kept), dropped)
 
 

@@ -43,7 +43,7 @@ def main():
                 probe_duration(u)
             f.write(
                 f"{u.uid}\t{u.text}\t{u.wav_path}\t{u.start}\t"
-                f"{u.duration}\t{' '.join(toks)}\n"
+                f"{u.start + u.duration}\t{' '.join(toks)}\n"
             )
     logging.info("wrote %s (%d utterances)", args.output, len(utts))
 

@@ -1,6 +1,6 @@
 """Flow-matching TTS training CLI — parity with `zipvoice.bin.train_zipvoice`.
 
-Data comes from TSV manifests (id\\ttext\\twav_path[\\tstart\\tduration]);
+Data comes from TSV manifests (id\\ttext\\twav_path[\\tstart\\tend]);
 fbank features are computed on device (no lhotse precompute stage).
 
 Example:

@@ -7,8 +7,10 @@ bin/compute_fbank.py): there is no offline feature precompute; audio is
 loaded host-side, padded to a bucket, and the log-mel fbank runs inside the
 jitted input program on device (the k2/lhotse CPU pipeline has no TPU role).
 
-Manifest format matches bin/prepare_dataset.py:196-208: TSV lines of
-``id\\ttext\\twav_path`` or ``id\\ttext\\twav_path\\tstart\\tduration``.
+Manifest format (the reference's TSV contract, ref egs run_finetune.sh):
+``id\\ttext\\twav_path`` or ``id\\ttext\\twav_path\\tstart\\tend``
+(start/end in seconds within the wav); a trailing tokens column may follow
+(bin/prepare_tokens).
 """
 
 from __future__ import annotations
@@ -43,16 +45,20 @@ def read_tsv_manifest(path) -> List[Utterance]:
                 uid, text, wav = items
                 utts.append(Utterance(uid, text, wav))
             elif len(items) == 5:
-                uid, text, wav, start, dur = items
-                utts.append(Utterance(uid, text, wav, float(start), float(dur)))
+                # 5-col = id, text, wav, start, END (the reference's TSV
+                # contract, ref egs/zipvoice/run_finetune.sh)
+                uid, text, wav, start, end = items
+                utts.append(Utterance(uid, text, wav, float(start),
+                                      float(end) - float(start)))
             elif len(items) == 4:
                 # bin/prepare_tokens output: trailing column = offline tokens
                 uid, text, wav, toks = items
                 utts.append(Utterance(uid, text, wav,
                                       token_strs=toks.split(" ")))
             elif len(items) == 6:
-                uid, text, wav, start, dur, toks = items
-                utts.append(Utterance(uid, text, wav, float(start), float(dur),
+                uid, text, wav, start, end, toks = items
+                utts.append(Utterance(uid, text, wav, float(start),
+                                      float(end) - float(start),
                                       token_strs=toks.split(" ")))
             elif items and items[0]:
                 raise ValueError(

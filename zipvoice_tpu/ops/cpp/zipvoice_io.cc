@@ -62,7 +62,12 @@ Wav decode_wav(const std::string& path) {
       channels = rd_u16(data.data() + pos + 10);
       rate = rd_u32(data.data() + pos + 12);
       bits = rd_u16(data.data() + pos + 22);
-      if (fmt == 0xFFFE) fmt = (bits == 32 && false) ? 3 : 1;  // extensible->PCM
+      if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first word
+        // of the SubFormat GUID at fmt-chunk offset 24
+        uint16_t sub = (size >= 26) ? rd_u16(data.data() + pos + 8 + 24) : 1;
+        fmt = (sub == 3) ? 3 : 1;
+      }
     } else if (std::memcmp(cid, "data", 4) == 0) {
       body = data.data() + pos + 8;
       body_size = size;

@@ -50,11 +50,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
+        try:
+            stale = (not _LIB.exists()
+                     or (_SRC.exists()
+                         and _LIB.stat().st_mtime < _SRC.stat().st_mtime))
+        except OSError:
+            stale = True
+        if stale:
+            if not _SRC.exists() or not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(str(_LIB))
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError as ex:  # stale .so for the wrong arch/OS
+            logging.info("native io load failed (%s); numpy fallback", ex)
+            _build_failed = True
+            return None
         lib.batch_load_wav.restype = ctypes.c_int
         lib.batch_load_wav.argtypes = [
             ctypes.c_char_p,
