@@ -136,3 +136,41 @@ def test_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_long_form_request(server):
+    """long_form=true routes through chunked synthesis."""
+    rng = np.random.default_rng(0)
+    prompt = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    payload = {
+        "text": "the quick brown fox jumps over the lazy dog " * 3,
+        "prompt_text": "hi there",
+        "prompt_wav_b64": base64.b64encode(wav_bytes(prompt, 24000)).decode(),
+        "num_step": 2, "long_form": True,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/synthesize",
+        data=json.dumps(payload).encode(), method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        body = resp.read()
+    wav, sr = read_wav_bytes(body)
+    assert sr == 24000 and wav.shape[-1] > 0 and np.isfinite(wav).all()
+
+
+def test_custom_sampling_rejected_when_pinned(server):
+    """strict sampling: non-default num_step gets a 400, not a compile."""
+    rng = np.random.default_rng(0)
+    prompt = (rng.standard_normal((1, 8000)) * 0.05).astype(np.float32)
+    payload = {
+        "text": "hello", "prompt_text": "hi",
+        "prompt_wav_b64": base64.b64encode(wav_bytes(prompt, 24000)).decode(),
+        "num_step": 13,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/synthesize",
+        data=json.dumps(payload).encode(), method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400

@@ -57,6 +57,7 @@ class _Request:
     speed: float
     t_shift: float
     seed: int
+    long_form: bool = False  # chunked synthesis beyond the ~30 s cap
     precomputed: Optional[Dict] = None  # tokens/prompt feats (HTTP thread)
     done: threading.Event = field(default_factory=threading.Event)
     wav: Optional[np.ndarray] = None
@@ -158,10 +159,21 @@ class DynamicBatcher:
         by_key: Dict[tuple, List[_Request]] = {}
         for r in batch:
             by_key.setdefault(
-                (r.num_step, r.guidance_scale, r.speed, r.t_shift), []
+                (r.num_step, r.guidance_scale, r.speed, r.t_shift,
+                 r.long_form), []
             ).append(r)
-        for (num_step, gs, speed, t_shift), group in by_key.items():
+        for (num_step, gs, speed, t_shift, long_form), group in by_key.items():
             try:
+                if long_form:
+                    for r in group:  # chunked path; not batchable
+                        res = self.pipeline.synthesize_long(
+                            text=r.text, prompt_text=r.prompt_text,
+                            prompt_wav=r.prompt_wav, prompt_sr=r.prompt_sr,
+                            num_step=num_step, guidance_scale=gs,
+                            speed=speed, t_shift=t_shift, seed=r.seed,
+                        )
+                        r.wav = res.wav
+                    continue
                 self._run_group(group, num_step, gs, speed, t_shift)
             except Exception as ex:  # noqa: BLE001 — server must stay up
                 logging.exception("group failed")
@@ -345,10 +357,12 @@ class TTSServer:
             speed=speed,
             t_shift=t_shift,
             seed=int(payload.get("seed", 666)) & 0xFFFFFFFF,
+            long_form=bool(payload.get("long_form", False)),
         )
         # tokenize + prompt fbank HERE (per-request HTTP thread) so the
         # single dispatcher thread only launches device programs
-        if self.pipeline.tokenizer is not None:
+        # (long-form chunks re-derive tokens per chunk inside the pipeline)
+        if self.pipeline.tokenizer is not None and not req.long_form:
             tok = self.pipeline.tokenizer
             pf, prompt_rms = self.pipeline.prompt_features(
                 req.prompt_wav, req.prompt_sr
