@@ -172,3 +172,90 @@ def test_export_cli_int8(tmp_path, monkeypatch):
         rng.standard_normal((1, 64, 16)).astype(np.float32),
     )
     assert np.isfinite(np.asarray(res)).all()
+
+
+def test_infer_exported_cli_end_to_end(tmp_path, monkeypatch):
+    """Full deployment loop: export_model -> bin/infer_exported (the
+    onnxruntime-path equivalent) synthesizes a wav from the StableHLO
+    artifacts."""
+    import json
+    import sys
+
+    import torch
+
+    from zipvoice_tpu.audio.vocos import VocosConfig, init_vocos
+    from zipvoice_tpu.audio.wav import read_wav, write_wav
+    from zipvoice_tpu.bin import export_model, infer_exported
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    cfg = ZipVoiceConfig(**TINY)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(params).items()}
+    torch.save({"model": sd}, tmp_path / "model.pt")
+    raw = {k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()
+           if k not in ("vocab_size", "pad_id")}
+    (tmp_path / "model.json").write_text(json.dumps(
+        {"model": raw, "feature": {"sampling_rate": 24000, "type": "vocos",
+                                   "n_mels": 16}}))
+    tokens = {"_": 0, " ": 1}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        tokens[ch] = i + 2
+    write_token_file(tokens, str(tmp_path / "tokens.txt"))
+
+    out = tmp_path / "exported"
+    monkeypatch.setattr(sys, "argv", [
+        "export_model", "--model-dir", str(tmp_path), "--out-dir", str(out),
+        "--num-step", "2", "--max-tokens", "32", "--max-frames", "128",
+    ])
+    export_model.main()
+
+    # tiny vocos ckpt in torch layout (same as test_pipeline)
+    vcfg = VocosConfig(input_channels=16, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    vparams = init_vocos(jax.random.PRNGKey(3), vcfg)
+
+    def to_sd(tree, prefix=""):
+        o = {}
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                o.update(to_sd(v, name))
+            else:
+                arr = np.asarray(v)
+                if name.endswith("embed.weight") and arr.ndim == 3:
+                    arr = np.transpose(arr, (2, 1, 0))
+                elif name.endswith("dwconv.weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)[:, None, :]
+                elif name.endswith(".weight") and arr.ndim == 2:
+                    arr = np.transpose(arr)
+                o[name] = torch.from_numpy(arr.copy())
+        return o
+
+    torch.save(to_sd(vparams), tmp_path / "vocos.bin")
+    rng = np.random.default_rng(0)
+    write_wav(tmp_path / "p.wav",
+              (rng.standard_normal((1, 8000)) * 0.05).astype(np.float32),
+              24000)
+
+    import zipvoice_tpu.models.pipeline as pl_mod
+
+    orig_init = pl_mod.ZipVoicePipeline.__init__
+
+    def patched_init(self, *a, **kw):
+        kw["vocos_cfg"] = vcfg
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(pl_mod.ZipVoicePipeline, "__init__", patched_init)
+    out_wav = tmp_path / "out.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "infer_exported", "--export-dir", str(out),
+        "--model-dir", str(tmp_path), "--tokenizer", "simple",
+        "--vocoder-path", str(tmp_path / "vocos.bin"), "--mode", "fused",
+        "--prompt-wav", str(tmp_path / "p.wav"), "--prompt-text", "hi",
+        "--text", "hello", "--res-wav-path", str(out_wav),
+    ])
+    infer_exported.main()
+    wav, sr = read_wav(out_wav)
+    assert sr == 24000 and wav.shape[-1] > 0 and np.isfinite(wav).all()
