@@ -174,10 +174,12 @@ def test_export_cli_int8(tmp_path, monkeypatch):
     assert np.isfinite(np.asarray(res)).all()
 
 
-def test_infer_exported_cli_end_to_end(tmp_path, monkeypatch):
+@pytest.mark.parametrize("mode", ["fused", "host-loop"])
+def test_infer_exported_cli_end_to_end(tmp_path, monkeypatch, mode):
     """Full deployment loop: export_model -> bin/infer_exported (the
     onnxruntime-path equivalent) synthesizes a wav from the StableHLO
-    artifacts."""
+    artifacts — fused single-program mode AND the host Euler loop that
+    mirrors the reference's ONNX flow (ref infer_zipvoice_onnx.py:357-377)."""
     import json
     import sys
 
@@ -252,7 +254,7 @@ def test_infer_exported_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "infer_exported", "--export-dir", str(out),
         "--model-dir", str(tmp_path), "--tokenizer", "simple",
-        "--vocoder-path", str(tmp_path / "vocos.bin"), "--mode", "fused",
+        "--vocoder-path", str(tmp_path / "vocos.bin"), "--mode", mode,
         "--prompt-wav", str(tmp_path / "p.wav"), "--prompt-text", "hi",
         "--text", "hello", "--res-wav-path", str(out_wav),
     ])
