@@ -10,7 +10,6 @@ is here and fully offline-testable.
 from __future__ import annotations
 
 import re
-from itertools import permutations
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
