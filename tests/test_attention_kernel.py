@@ -289,3 +289,382 @@ def test_fused_attention_padded_penalty_grads_match_xla(t):
             np.asarray(a), np.asarray(b_), atol=5e-5,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused APPLY kernel: softmax(scores) @ v without materializing probs.
+# ---------------------------------------------------------------------------
+
+
+def _xla_apply(q, k, pq, pe, mask, v, const_gate=None):
+    """XLA twin of rel_attention_apply: probs (optionally const-attention
+    replaced, detached like ref zipformer.py:545-556) contracted with v."""
+    p = _xla_path(q, k, pq, pe, mask)
+    if const_gate is not None:
+        binary = jax.lax.stop_gradient((p > 0.0).astype(p.dtype))
+        const = binary / jnp.maximum(binary.sum(-1, keepdims=True), 1e-20)
+        p = jnp.where(const_gate, const, p)
+    return jnp.einsum("bhts,bshd->bthd", p, v,
+                      preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_apply_forward_matches_xla(with_mask):
+    from zipvoice_tpu.ops.attention import rel_attention_apply
+
+    b, t, h, qd, pd, vd = 2, 256, 4, 32, 4, 12
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = (
+        jnp.asarray(np.arange(t)[None, :] >= np.array([t, 150])[:, None])
+        if with_mask
+        else None
+    )
+    ref = np.asarray(_xla_apply(q, k, pq, pe, mask, v))
+    out = np.asarray(rel_attention_apply(
+        q, k, pq, pe, mask, v, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_apply_head0_wide_value():
+    """The nonlin-attention shape: H=1, wide value dim (hidden=3D/4)."""
+    from zipvoice_tpu.ops.attention import rel_attention_apply
+
+    b, t, qd, pd, vd = 2, 128, 8, 4, 96
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, t, 1, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, 1, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, 1, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, 1, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, 1, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t, 100])[:, None])
+    ref = np.asarray(_xla_apply(q, k, pq, pe, mask, v))
+    out = np.asarray(rel_attention_apply(
+        q, k, pq, pe, mask, v, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_apply_gradients_match_xla():
+    """Flash-style backward (dq/dk/dpq/dpe/dv, no (T,T) in HBM) == autodiff
+    of the XLA twin."""
+    from zipvoice_tpu.ops.attention import rel_attention_apply
+
+    b, t, h, qd, pd, vd = 1, 128, 2, 8, 4, 12
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([100])[:, None])
+
+    def loss_fused(q, k, pq, pe, v):
+        o = rel_attention_apply(q, k, pq, pe, mask, v, out_dtype=jnp.float32,
+                                interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, pq, pe, v):
+        return jnp.sum(jnp.sin(_xla_apply(q, k, pq, pe, mask, v)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    for name, a, b_ in zip("q k pq pe v".split(), g_fused, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5,
+            err_msg=f"apply grad mismatch for {name}",
+        )
+
+
+def test_apply_const_gate_matches_xla():
+    """const-attention branch: forward replaced by the normalized support
+    indicator; backward detached from the scores but dv still flows."""
+    from zipvoice_tpu.ops.attention import rel_attention_apply
+
+    b, t, qd, pd, vd = 1, 128, 8, 4, 16
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((b, t, 1, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, 1, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, 1, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, 1, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, 1, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([90])[:, None])
+    gate = jnp.asarray(1.0, jnp.float32)
+
+    def loss_fused(q, k, pq, pe, v):
+        o = rel_attention_apply(q, k, pq, pe, mask, v, out_dtype=jnp.float32,
+                                interpret=True, const_gate=gate)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, pq, pe, v):
+        o = _xla_apply(q, k, pq, pe, mask, v, const_gate=jnp.asarray(True))
+        return jnp.sum(jnp.sin(o))
+
+    (lf, gf) = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        q, k, pq, pe, v)
+    (lx, gx) = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4))(
+        q, k, pq, pe, v)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-6)
+    # scores detached -> q/k/pq/pe grads all zero; v grad matches
+    for name, a in zip("q k pq pe".split(), gf[:4]):
+        assert np.abs(np.asarray(a)).max() == 0.0, name
+    for name, a, b_ in zip("q k pq pe v".split(), gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5,
+            err_msg=f"const-gate grad mismatch for {name}",
+        )
+
+
+def test_apply_penalty_gradients_match_xla():
+    """The score-failsafe penalty rides the apply backward exactly like
+    penalize_abs_values_gt on the shared pre-mask scores."""
+    from zipvoice_tpu.nn.regularizers import penalize_abs_values_gt
+    from zipvoice_tpu.ops.attention import rel_attention_apply
+
+    b, t, h, qd, pd, vd = 1, 128, 2, 8, 4, 12
+    rng = np.random.default_rng(14)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)) * 2.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)) * 2.5, jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([100])[:, None])
+    pen = jnp.asarray(1.0e-2, jnp.float32)
+
+    s_chk = np.asarray(jnp.einsum("bthd,bshd->bhts", q, k))
+    assert (np.abs(s_chk) > 25.0).any()
+
+    def loss_fused(q, k, pq, pe, v):
+        o = rel_attention_apply(q, k, pq, pe, mask, v, out_dtype=jnp.float32,
+                                interpret=True, score_penalty=pen,
+                                penalty_limit=25.0)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, pq, pe, v):
+        s = jnp.einsum("bthd,bshd->bhts", q, k,
+                       preferred_element_type=jnp.float32)
+        pos = jnp.einsum("bthd,nhd->bhtn", pq, pe,
+                         preferred_element_type=jnp.float32)
+        s = s + _rel_shift(pos, t)
+        s = penalize_abs_values_gt(s, jnp.asarray(True), limit=25.0,
+                                   penalty=float(pen))
+        p = masked_softmax(s, mask)
+        o = jnp.einsum("bhts,bshd->bthd", p, v,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(jnp.sin(o))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    for name, a, b_ in zip("q k pq pe v".split(), g_fused, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5,
+            err_msg=f"penalty grad mismatch for {name}",
+        )
+
+
+@pytest.mark.parametrize("t", [192, 130])
+def test_apply_padded_matches_xla(t):
+    """Unaligned t through rel_attention_apply_any: forward + gradients."""
+    from zipvoice_tpu.ops.attention import rel_attention_apply_any
+
+    b, h, qd, pd, vd = 2, 2, 8, 4, 12
+    rng = np.random.default_rng(15)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t, t - 37])[:, None])
+
+    def loss_fused(q, k, pq, pe, v):
+        o = rel_attention_apply_any(q, k, pq, pe, mask, v,
+                                    out_dtype=jnp.float32, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, pq, pe, v):
+        return jnp.sum(jnp.sin(_xla_apply(q, k, pq, pe, mask, v)))
+
+    np.testing.assert_allclose(
+        float(loss_fused(q, k, pq, pe, v)), float(loss_xla(q, k, pq, pe, v)),
+        rtol=1e-6)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    for name, a, b_ in zip("q k pq pe v".split(), g_fused, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5,
+            err_msg=f"padded apply grad mismatch for {name}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Layer-level integration of the fused apply path.
+# ---------------------------------------------------------------------------
+
+
+def _small_layer(seed=0):
+    from zipvoice_tpu.config import ZipformerConfig
+    from zipvoice_tpu.nn import zipformer as zf
+    from zipvoice_tpu.nn.functional import compact_rel_positional_encoding
+
+    cfg = ZipformerConfig(
+        in_dim=16, out_dim=16, downsampling_factor=(1,),
+        num_encoder_layers=1, cnn_module_kernel=3, encoder_dim=16,
+        query_head_dim=8, pos_head_dim=4, value_head_dim=8, num_heads=2,
+        feedforward_dim=32, pos_dim=8, use_time_embed=True,
+        time_embed_dim=8,
+    )
+    t = 128
+    key = jax.random.PRNGKey(seed)
+    p = zf._init_layer(key, cfg, kernel=3)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, t, 16)), jnp.float32)
+    time_emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    pos_emb = compact_rel_positional_encoding(t, cfg.pos_dim)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t, 100])[:, None])
+    return cfg, p, x, time_emb, pos_emb, mask
+
+
+def _interp_patch(monkeypatch):
+    import zipvoice_tpu.ops.attention as att
+
+    real_probs = att.rel_attention_probs_any
+    real_apply = att.rel_attention_apply_any
+    real_consume = att.rel_attention_consume
+
+    def probs_i(*a, **kw):
+        kw["interpret"] = True
+        return real_probs(*a, **kw)
+
+    def apply_i(*a, **kw):
+        kw["interpret"] = True
+        return real_apply(*a, **kw)
+
+    def consume_i(*a, **kw):
+        kw["interpret"] = True
+        return real_consume(*a, **kw)
+
+    monkeypatch.setattr(att, "rel_attention_probs_any", probs_i)
+    monkeypatch.setattr(att, "rel_attention_apply_any", apply_i)
+    monkeypatch.setattr(att, "rel_attention_consume", consume_i)
+
+
+def test_layer_fused_kernel_matches_xla_eval(monkeypatch):
+    """Whole encoder layer, eval mode: the fused probs kernel == the XLA
+    einsum path end-to-end through every consumer."""
+    from zipvoice_tpu.nn import zipformer as zf
+
+    cfg, p, x, time_emb, pos_emb, mask = _small_layer()
+    _interp_patch(monkeypatch)
+
+    def run(fused):
+        zf.set_fused_attention(fused)
+        try:
+            return zf._encoder_layer(p, cfg, x, pos_emb, time_emb, mask, None)
+        finally:
+            zf.set_fused_attention(None)
+
+    out_f = np.asarray(run(True))
+    out_x = np.asarray(run(False))
+    np.testing.assert_allclose(out_f, out_x, atol=2e-5)
+
+
+@pytest.mark.parametrize("gates_on", [False, True])
+def test_layer_fused_apply_matches_xla_training(monkeypatch, gates_on):
+    """Whole encoder layer with a TrainCtx: identical RNG stream on both
+    paths -> identical stochastics; fused apply must match forward AND
+    gradients (incl. the detached const-attention branch and the score
+    failsafe riding exactly one consumer)."""
+    from zipvoice_tpu.nn import zipformer as zf
+    from zipvoice_tpu.train.schedules import zipformer_schedules
+
+    cfg, p, x, time_emb, pos_emb, mask = _small_layer(seed=1)
+    _interp_patch(monkeypatch)
+    s = dict(zipformer_schedules(100.0, cfg), layerdrop=((0.01,),))
+
+    class FixedGateCtx(zf.TrainCtx):
+        def gate(self, prob):
+            self.next_key()
+            return jnp.asarray(gates_on)
+
+    def loss(p, x, fused_apply):
+        zf.set_fused_attention(True)
+        zf.set_fused_apply(fused_apply)
+        try:
+            ctx = FixedGateCtx(jax.random.PRNGKey(3), s)
+            out = zf._encoder_layer(p, cfg, x, pos_emb, time_emb, mask, ctx)
+        finally:
+            zf.set_fused_attention(None)
+            zf.set_fused_apply(True)
+        return jnp.sum(jnp.sin(out))
+
+    (l_f, g_f) = jax.value_and_grad(loss, argnums=(0, 1))(p, x, True)
+    (l_x, g_x) = jax.value_and_grad(loss, argnums=(0, 1))(p, x, False)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+    paths_f = jax.tree_util.tree_leaves_with_path(g_f)
+    paths_x = jax.tree_util.tree_leaves_with_path(g_x)
+    for (pa, a), (pb, b_) in zip(paths_f, paths_x):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        if not gates_on:
+            np.testing.assert_allclose(
+                a, b_, rtol=5e-4, atol=5e-5,
+                err_msg=f"layer grad mismatch at {jax.tree_util.keystr(pa)}",
+            )
+            continue
+        # gates_on fires every balancer/whiten: their VJPs contain sign(x)
+        # and thresholded per-channel statistics, so an O(1e-7) forward
+        # difference between the kernel and XLA softmax can discretely flip
+        # a few elements' gradient contributions (measured: the XLA path vs
+        # ITSELF at x+3e-7 jumps 0.019 in conv bias grads).  Bound the
+        # *aggregate* deviation instead of elementwise equality.
+        denom = max(float(np.linalg.norm(a)), float(np.linalg.norm(b_)), 1e-6)
+        rel = float(np.linalg.norm(a - b_)) / denom
+        assert rel < 0.08, (
+            f"layer grad mismatch at {jax.tree_util.keystr(pa)}: "
+            f"relative L2 {rel:.4f}"
+        )
+
+
+@pytest.mark.parametrize("t", [128, 130])
+def test_consume_gradients_match_xla(t):
+    """rel_attention_consume: forward contracts shared stop-gradient probs;
+    flash backward == autodiff of the transparent XLA formulation, for
+    aligned and unaligned t (padding handled inside the backward)."""
+    from zipvoice_tpu.ops.attention import (
+        rel_attention_consume,
+        rel_attention_probs_any,
+    )
+
+    b, h, qd, pd, vd = 1, 2, 8, 4, 12
+    rng = np.random.default_rng(20)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = jnp.asarray(np.arange(t)[None, :] >= np.array([t - 17])[:, None])
+
+    def loss_consume(q, k, pq, pe, v):
+        probs = jax.lax.stop_gradient(
+            rel_attention_probs_any(q, k, pq, pe, mask,
+                                    out_dtype=jnp.float32, interpret=True)
+        )
+        o = rel_attention_consume(q, k, pq, pe, mask, probs, v,
+                                  interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, pq, pe, v):
+        return jnp.sum(jnp.sin(_xla_apply(q, k, pq, pe, mask, v)))
+
+    np.testing.assert_allclose(
+        float(loss_consume(q, k, pq, pe, v)), float(loss_xla(q, k, pq, pe, v)),
+        rtol=1e-6)
+    g_c = jax.grad(loss_consume, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, pq, pe, v)
+    for name, a, b_ in zip("q k pq pe v".split(), g_c, g_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5,
+            err_msg=f"consume grad mismatch for {name}",
+        )

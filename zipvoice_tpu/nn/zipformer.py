@@ -43,6 +43,22 @@ Params = Dict[str, object]
 # (use on TPU for T % 128 == 0 eval-mode calls), True/False = force.
 _FUSED_ATTENTION: Optional[bool] = None
 
+# Training-only: flash-style attention backward.  Forward shares ONE
+# kernel-materialized (B, H, T, T) probability tensor across the three
+# consumers (nonlin head-0 + both SelfAttention modules, ref
+# zipformer.py:1359-1396, 1499-1544) — measured faster than per-consumer
+# recompute at every batch size; backward recomputes probabilities tile-wise
+# per consumer (ops.attention.rel_attention_consume), so no (T, T) tensor
+# (neither probs cotangents nor ds) is ever materialized in the backward.
+# Measured fwd+bwd at 123M/B=8/T=1024 on v5e: 195 ms -> ~146 ms.
+# Eval keeps the round-2 probs-kernel path (faster forward).
+_FUSED_APPLY: bool = True
+
+
+def set_fused_apply(enabled: bool):
+    global _FUSED_APPLY
+    _FUSED_APPLY = enabled
+
 # lax.scan over a stack's layers (identical structure): one layer trace per
 # stack instead of num_layers -> much faster compiles, identical numerics.
 _SCAN_LAYERS: bool = True
@@ -392,19 +408,35 @@ def _rel_shift(pos_scores: jax.Array, seq_len: int) -> jax.Array:
     return flat.reshape(b, h, t, 2 * t - 2)[..., :t]
 
 
-def _attention_weights(
+class _FusedAttn:
+    """Training attention bundle: the shared projections of
+    RelPositionMultiheadAttentionWeights (ref zipformer.py:1149-1306) plus
+    the kernel-materialized probabilities under stop_gradient.  Consumers
+    contract `probs` in the forward (shared across all three, like the
+    reference) but their backward recomputes probability tiles in VMEM
+    (rel_attention_consume) — no (B, H, T, T) cotangent or ds tensor in HBM.
+    `pen` is the score-failsafe scalar (gate * penalty); exactly one
+    consumer per layer attaches it."""
+
+    __slots__ = ("q", "k", "pq", "pe", "mask", "pen", "probs")
+
+    def __init__(self, q, k, pq, pe, mask, pen, probs):
+        self.q, self.k, self.pq, self.pe = q, k, pq, pe
+        self.mask, self.pen, self.probs = mask, pen, probs
+
+
+def _attention_projections(
     p: Params,
     cfg: ZipformerConfig,
     x: jax.Array,
     pos_emb: jax.Array,
-    key_padding_mask: Optional[jax.Array],
     ctx: Optional[TrainCtx] = None,
-) -> jax.Array:
-    """RelPositionMultiheadAttentionWeights forward (ref zipformer.py:1149-1306).
-
-    x: (B, T, D); pos_emb: (2T-1, pos_dim).  Returns float32 attention
-    probabilities (B, H, T, T).
-    """
+):
+    """Shared q/k/pos-q/pos-emb projections + training regularizers
+    (ref zipformer.py:1149-1211).  Returns (q, k, pq, pe, pen); the
+    pos-score dropout is applied by gating pq (pos_scores are linear in pq,
+    so forward and gradients match gating the scores), and pen is the
+    failsafe scalar for the score penalty (None in eval)."""
     b, t, _ = x.shape
     h, qd, pd = cfg.num_heads, cfg.query_head_dim, cfg.pos_head_dim
     proj = linear(p["in_proj"], x)
@@ -422,22 +454,38 @@ def _attention_weights(
 
     pe = linear(p["linear_pos"], pos_emb.astype(x.dtype)).reshape(2 * t - 1, h, pd)
 
+    pen = None
+    if ctx is not None:
+        # pos-score dropout w.p. pos_emb_skip_rate (ref :1207-1211)
+        use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
+        pq = pq * jnp.where(use_pos, 1.0, 0.0).astype(pq.dtype)
+        # attention-score failsafe w.p. 0.1 (ref :1254-1269)
+        pen = jnp.where(ctx.gate(0.1), 1.0e-04, 0.0).astype(jnp.float32)
+    return q, k, pq, pe, pen
+
+
+def _attention_weights(
+    p: Params,
+    cfg: ZipformerConfig,
+    x: jax.Array,
+    pos_emb: jax.Array,
+    key_padding_mask: Optional[jax.Array],
+    ctx: Optional[TrainCtx] = None,
+) -> jax.Array:
+    """RelPositionMultiheadAttentionWeights forward (ref zipformer.py:1149-1306).
+
+    x: (B, T, D); pos_emb: (2T-1, pos_dim).  Returns attention probabilities
+    (B, H, T, T) — the materialized-probs path, used when the fused apply
+    kernel is off or T is too small.
+    """
+    t = x.shape[1]
+    q, k, pq, pe, pen = _attention_projections(p, cfg, x, pos_emb, ctx)
+
     if _fused_attention_wanted(t, ctx):
         from zipvoice_tpu.ops.attention import rel_attention_probs_any
 
         # probs in compute dtype: every consumer casts to x.dtype anyway
         # (softmax itself stays f32 inside the kernel)
-        if ctx is None:
-            return rel_attention_probs_any(
-                q, k, pq, pe, key_padding_mask, out_dtype=x.dtype
-            )
-        # training regularizers, same RNG draws/order as the XLA path below:
-        # pos-score dropout gates pq (linear in pos_scores, so forward and
-        # gradients match gating the scores), and the score failsafe runs
-        # inside the kernel's backward on the pre-mask scores.
-        use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
-        pq = pq * jnp.where(use_pos, 1.0, 0.0).astype(pq.dtype)
-        pen = jnp.where(ctx.gate(0.1), 1.0e-04, 0.0).astype(jnp.float32)
         return rel_attention_probs_any(
             q, k, pq, pe, key_padding_mask, out_dtype=x.dtype,
             score_penalty=pen, penalty_limit=25.0,
@@ -450,43 +498,55 @@ def _attention_weights(
     pos_scores = jnp.einsum(
         "bthd,nhd->bhtn", pq, pe, preferred_element_type=jnp.float32
     )
-    pos_scores = _rel_shift(pos_scores, t)
-    if ctx is None:
-        attn_scores = attn_scores + pos_scores
-    else:
-        # pos-score dropout w.p. pos_emb_skip_rate (ref :1207-1211)
-        use_pos = ~ctx.gate(ctx.s["pos_emb_skip_rate"])
-        attn_scores = attn_scores + jnp.where(use_pos, 1.0, 0.0) * pos_scores
-        # attention-score failsafe w.p. 0.1 (ref :1254-1269)
+    attn_scores = attn_scores + _rel_shift(pos_scores, t)
+    if pen is not None:
         from zipvoice_tpu.nn.regularizers import penalize_abs_values_gt
 
         attn_scores = penalize_abs_values_gt(
-            attn_scores, ctx.gate(0.1), limit=25.0, penalty=1.0e-04
+            attn_scores, pen > 0, limit=25.0, penalty=1.0e-04
         )
 
     return masked_softmax(attn_scores, key_padding_mask)
 
 
 def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
-                    attn_weights: jax.Array,
-                    ctx: Optional[TrainCtx] = None) -> jax.Array:
-    """SelfAttention forward (ref zipformer.py:1359-1396).  x: (B, T, D)."""
+                    attn_weights, ctx: Optional[TrainCtx] = None,
+                    use_pen: bool = False) -> jax.Array:
+    """SelfAttention forward (ref zipformer.py:1359-1396).  x: (B, T, D).
+
+    attn_weights: (B, H, T, T) probabilities, or a _FusedAttn whose
+    probs @ v contraction runs inside the Pallas apply kernel.  use_pen
+    attaches the layer's score-failsafe penalty to this consumer (must be
+    true for exactly one all-head consumer per layer)."""
     b, t, _ = x.shape
     h = cfg.num_heads
     v = linear(p["in_proj"], x).reshape(b, t, h, cfg.value_head_dim)
-    o = jnp.einsum(
-        "bhts,bshd->bthd", attn_weights.astype(x.dtype), v,
-        preferred_element_type=x.dtype,
-    )
+    if isinstance(attn_weights, _FusedAttn):
+        from zipvoice_tpu.ops.attention import rel_attention_consume
+
+        a = attn_weights
+        o = rel_attention_consume(
+            a.q, a.k, a.pq, a.pe, a.mask, a.probs, v,
+            score_penalty=a.pen if use_pen else None, penalty_limit=25.0,
+        )
+    else:
+        o = jnp.einsum(
+            "bhts,bshd->bthd", attn_weights.astype(x.dtype), v,
+            preferred_element_type=x.dtype,
+        )
     out = linear(p["out_proj"], o.reshape(b, t, h * cfg.value_head_dim))
     return _maybe_whiten(ctx, out, "whiten_7_5x3", 0.01)
 
 
-def _nonlin_attention(p: Params, x: jax.Array, attn_head0: jax.Array,
-                      ctx: Optional[TrainCtx] = None) -> jax.Array:
+def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
+                      ctx: Optional[TrainCtx] = None,
+                      const_gate: Optional[jax.Array] = None) -> jax.Array:
     """NonlinAttention forward (ref zipformer.py:1499-1544).
 
-    attn_head0: (B, T, T) — the first attention head's probabilities.
+    attn_head0: (B, T, T) — the first attention head's probabilities — or a
+    _FusedAttn (head-0 slices are contracted in-kernel).  const_gate: the
+    const-attention gate (fused path only; the probs path applies the const
+    branch before calling, see _encoder_layer).
     """
     proj = linear(p["in_proj"], x)
     s, v, y = jnp.split(proj, 3, axis=-1)
@@ -499,10 +559,31 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0: jax.Array,
         )
     v = _maybe_whiten(ctx, v, "whiten_5", 0.01)
     v = v * jnp.tanh(s)
-    v = jnp.einsum(
-        "bts,bsc->btc", attn_head0.astype(x.dtype), v,
-        preferred_element_type=x.dtype,
-    )
+    if isinstance(attn_head0, _FusedAttn):
+        from zipvoice_tpu.ops.attention import rel_attention_consume
+
+        a = attn_head0
+        head0 = a.probs[:, 0]
+        gate = None
+        if const_gate is not None:
+            # const-attention forward on the materialized (stop-gradient)
+            # head-0 probabilities (ref zipformer.py:545-556); the backward
+            # kernel re-derives the same const branch from the gate scalar.
+            binary = (head0 > 0.0).astype(head0.dtype)
+            const_head = binary / jnp.maximum(
+                jnp.sum(binary, axis=-1, keepdims=True), 1e-20
+            )
+            head0 = jnp.where(const_gate, const_head, head0)
+            gate = jnp.where(const_gate, 1.0, 0.0).astype(jnp.float32)
+        v = rel_attention_consume(
+            a.q[:, :, :1], a.k[:, :, :1], a.pq[:, :, :1], a.pe[:, :1],
+            a.mask, head0[:, None], v[:, :, None, :], const_gate=gate,
+        )[:, :, 0]
+    else:
+        v = jnp.einsum(
+            "bts,bsc->btc", attn_head0.astype(x.dtype), v,
+            preferred_element_type=x.dtype,
+        )
     out = linear(p["out_proj"], v * y)
     return _maybe_whiten(ctx, out, "whiten_5x3", 0.01)
 
@@ -604,10 +685,27 @@ def _encoder_layer(
     whitening, layerdrop.
     """
     src_orig = src
-    attn_weights = _attention_weights(
-        p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask, ctx
-    )
-    _tap("self_attn_weights", attn_weights)
+    t = src.shape[1]
+    if _FUSED_APPLY and ctx is not None and _fused_attention_wanted(t, ctx):
+        from zipvoice_tpu.ops.attention import rel_attention_probs_any
+
+        q, k, pq, pe, pen = _attention_projections(
+            p["self_attn_weights"], cfg, src, pos_emb, ctx
+        )
+        # probs once per layer (kernel), shared by all three consumers in
+        # the forward; stop_gradient — every score gradient flows through
+        # the consumers' flash backward instead
+        probs = jax.lax.stop_gradient(
+            rel_attention_probs_any(
+                q, k, pq, pe, key_padding_mask, out_dtype=src.dtype
+            )
+        )
+        attn_weights = _FusedAttn(q, k, pq, pe, key_padding_mask, pen, probs)
+    else:
+        attn_weights = _attention_weights(
+            p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask, ctx
+        )
+        _tap("self_attn_weights", attn_weights)
 
     te = None if time_emb is None else time_emb[:, None, :].astype(src.dtype)
     if te is not None:
@@ -626,25 +724,36 @@ def _encoder_layer(
     else:
         attn_keep = None
 
-    head0 = attn_weights[:, 0]
-    if ctx is not None:
-        # const-attention: replace head 0 with a normalized binary mask
-        # w.p. const_attention_rate (ref zipformer.py:545-556)
-        binary = (head0 > 0.0).astype(head0.dtype)
-        const_head = binary / jnp.maximum(
-            jnp.sum(binary, axis=-1, keepdims=True), 1e-20
+    if isinstance(attn_weights, _FusedAttn):
+        # const-attention (ref zipformer.py:545-556) resolves in-kernel; the
+        # gate draw keeps the probs path's RNG position.
+        const_gate = (
+            ctx.gate(ctx.s["const_attention_rate"]) if ctx is not None else None
         )
-        head0 = jnp.where(ctx.gate(ctx.s["const_attention_rate"]),
-                          const_head, head0)
+        na = _nonlin_attention(
+            p["nonlin_attention"], src, attn_weights, ctx, const_gate
+        )
+    else:
+        head0 = attn_weights[:, 0]
+        if ctx is not None:
+            # const-attention: replace head 0 with a normalized binary mask
+            # w.p. const_attention_rate (ref zipformer.py:545-556)
+            binary = jax.lax.stop_gradient((head0 > 0.0).astype(head0.dtype))
+            const_head = binary / jnp.maximum(
+                jnp.sum(binary, axis=-1, keepdims=True), 1e-20
+            )
+            head0 = jnp.where(ctx.gate(ctx.s["const_attention_rate"]),
+                              const_head, head0)
 
-    na = _nonlin_attention(p["nonlin_attention"], src, head0, ctx)
+        na = _nonlin_attention(p["nonlin_attention"], src, head0, ctx)
     na = _maybe_balancer(ctx, na, 0.05, min_positive=0.3, max_positive=0.7,
                          min_abs=ctx.s["balancer_na_min_abs"] if ctx else 0.0,
                          max_abs=100.0)
     _tap("nonlin_attention", na)
     src = src + (na if attn_keep is None else na * attn_keep)
 
-    sa = _self_attention(p["self_attn1"], cfg, src, attn_weights, ctx)
+    sa = _self_attention(p["self_attn1"], cfg, src, attn_weights, ctx,
+                         use_pen=True)
     _tap("self_attn1", sa)
     src = src + (sa if attn_keep is None else sa * attn_keep)
 

@@ -341,6 +341,499 @@ def rel_attention_probs_any(
     return probs[:, :, :t, :t]
 
 
+# ---------------------------------------------------------------------------
+# Fused attention APPLY: out = softmax(scores) @ v, never materializing the
+# (B, H, T, T) probabilities in HBM.
+#
+# The probs kernel above fixed the *score* side of the bandwidth problem but
+# still wrote the full probability tensor out for the consumers
+# (nn/zipformer.py: nonlin_attention head-0 contraction and the two
+# SelfAttention modules, ref zipformer.py:1359-1396, 1499-1544) — at
+# B=8, H=4, T=1024 that is ~4 full (B, H, T, T) HBM passes per layer.  Here
+# each consumer instead recomputes the scores tile-wise (cheap: the qk/pos
+# matmuls are ~48 MACs/element vs ~6 bytes/element of avoided traffic) and
+# contracts softmax(scores) with its value stream entirely in VMEM; only the
+# (TILE, vd) output tile is written.  The backward is flash-style: one Pallas
+# pass recomputes probabilities and emits dq/dk/dpq/dpe/dv per tile — no
+# (T, T) tensor ever reaches HBM in either direction.
+# ---------------------------------------------------------------------------
+
+
+def _tile_unshear(ds, t, ti):
+    """Adjoint of the shear in _tile_scores: (TILE, T) score-cotangent tile ->
+    (TILE, T+TILE) band cotangent with out[r, c] = ds[r, c + r - (TILE-1)]
+    (zero where the index falls outside [0, T)).  Implemented as zero-pad to
+    width T+TILE, a global right-roll by TILE-1, then a binary-decomposed
+    per-row LEFT-roll by r; wrapped indices always land in the zero-padded
+    columns, so the circular rolls never alias real data."""
+    w = t + ti
+    x = jnp.concatenate(
+        [ds, jnp.zeros((ds.shape[0], w - t), ds.dtype)], axis=1
+    )
+    # global right-roll by TILE-1
+    s0 = ti - 1
+    x = jnp.concatenate([x[:, w - s0:], x[:, : w - s0]], axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+    nbits = max(1, (ti - 1).bit_length())
+    for bbit in range(nbits):
+        s = 1 << bbit
+        rolled = jnp.concatenate([x[:, s:], x[:, :s]], axis=1)  # left-roll
+        take = (rows >> bbit) & 1
+        x = jnp.where(take == 1, rolled, x)
+    return x
+
+
+def _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref):
+    """probs (TILE, T) f32 for the current tile + the pre-mask scores.
+
+    gate_ref (SMEM, (1, 1)) holds the const-attention gate (0.0 or 1.0,
+    ref zipformer.py:545-556): when 1, probabilities are replaced by the
+    row-normalized support indicator of the softmax (detached in backward)."""
+    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)
+    probs = _tile_softmax(s_pre + mask_ref[0, 0, :][None, :])
+    gate = gate_ref[0, 0]
+    binary = (probs > 0.0).astype(jnp.float32)
+    const = binary / jnp.maximum(
+        jnp.sum(binary, axis=1, keepdims=True), 1e-20
+    )
+    used = jnp.where(gate > 0.0, const, probs)
+    return s_pre, probs, used
+
+
+def _apply_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, gate_ref,
+                  out_ref):
+    """Forward. Grid (B*H, T // TILE); v_ref (1, T, vd); out (1, TILE, vd)."""
+    _, _, used = _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref)
+    v = v_ref[0]
+    out_ref[0] = jax.lax.dot_general(
+        used.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
+                      gate_ref, pen_ref,
+                      dq_ref, dk_ref, dpq_ref, dpe_ref, dv_ref,
+                      *, limit, valid_cols):
+    """Flash-style backward: recompute probs tile-wise, then emit all five
+    cotangents without materializing any (T, T) tensor in HBM.
+
+    dk/dpe/dv are accumulated across the (sequential, innermost) row-tile
+    grid dimension into full per-(b,h) blocks that stay resident in VMEM;
+    dq/dpq are written per tile.  The gated const-attention branch is
+    detached (ds = 0) exactly like the reference's .detach() (ref
+    zipformer.py:545-556); the score-failsafe penalty (pen_ref = gate *
+    penalty) is added to ds unconditionally, matching
+    penalize_abs_values_gt's behavior of contributing gradient even when the
+    consumer's cotangent is zero (ref scaling.py:699-726)."""
+    ti = q_ref.shape[1]
+    t = k_ref.shape[1]
+    i0 = pl.program_id(1) * ti
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dpe_ref[0] = jnp.zeros_like(dpe_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    s_pre, probs, used = _apply_probs(
+        q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref
+    )
+    g = g_ref[0].astype(jnp.float32)  # (TILE, vd)
+    v = v_ref[0].astype(jnp.float32)  # (T, vd)
+
+    # dv += used^T @ g
+    dv_ref[0] += jax.lax.dot_general(
+        used, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dP = g @ v^T; softmax VJP (zero when the const branch was taken)
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, T)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
+    ds = jnp.where(gate_ref[0, 0] > 0.0, 0.0, ds)
+
+    pen = pen_ref[0, 0]
+    pen_term = pen * jnp.sign(s_pre) * ((jnp.abs(s_pre) - limit) > 0)
+    if valid_cols < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, s_pre.shape, 1)
+        pen_term = jnp.where(col < valid_cols, pen_term, 0.0)
+    ds = ds + pen_term
+
+    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # positional adjoints through the shear
+    ds_sh = _tile_unshear(ds, t, ti)  # (TILE, T+TILE)
+    band_start = pl.multiple_of(t - ti - i0, TILE)
+    band = pe_ref[0, pl.ds(band_start, t + ti), :].astype(jnp.float32)
+    dpq_ref[0] = jax.lax.dot_general(
+        ds_sh, band, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dband = jax.lax.dot_general(
+        ds_sh, pq_ref[0].astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T+TILE, pd)
+    dpe_ref[0, pl.ds(band_start, t + ti), :] += dband
+
+
+def _heads_layout(q, k, pq, pe, v):
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    vd = v.shape[-1]
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, t, qd)
+    pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, t, pd)
+    peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)  # (H,2T,pd)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, t, vd)
+    return qh, kh, pqh, peh, vh
+
+
+def _pallas_rel_apply(q, k, pq, pe, bias, v, gate, out_dtype, interpret):
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    vd = v.shape[-1]
+    assert t % TILE == 0, t
+    qh, kh, pqh, peh, vh = _heads_layout(q, k, pq, pe, v)
+    gate2 = gate.reshape(1, 1).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _apply_kernel,
+        grid=(b * h, t // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, qd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, pd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda bh, ti: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, vd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, vd), lambda bh, ti: (bh, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, vd), out_dtype),
+        interpret=interpret,
+    )(qh, kh, pqh, peh, bias, vh, gate2)
+    return out.reshape(b, h, t, vd).transpose(0, 2, 1, 3)
+
+
+def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
+                          valid_cols, interpret):
+    b, t, h, qd = q.shape
+    pd = pq.shape[-1]
+    vd = v.shape[-1]
+    qh, kh, pqh, peh, vh = _heads_layout(q, k, pq, pe, v)
+    gh = g.transpose(0, 2, 1, 3).reshape(b * h, t, vd)
+    gate2 = gate.reshape(1, 1).astype(jnp.float32)
+    pen2 = pen.reshape(1, 1).astype(jnp.float32)
+
+    spec_tile = lambda d: pl.BlockSpec((1, TILE, d), lambda bh, ti: (bh, ti, 0),
+                                       memory_space=pltpu.VMEM)
+    spec_full = lambda n, d: pl.BlockSpec((1, n, d), lambda bh, ti: (bh, 0, 0),
+                                          memory_space=pltpu.VMEM)
+    dq, dk, dpq, dpe_p, dv = pl.pallas_call(
+        functools.partial(_apply_bwd_kernel, limit=limit,
+                          valid_cols=valid_cols),
+        grid=(b * h, t // TILE),
+        in_specs=[
+            spec_tile(qd),
+            spec_full(t, qd),
+            spec_tile(pd),
+            pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda bh, ti: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_full(t, vd),
+            spec_tile(vd),
+            pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            spec_tile(qd),
+            spec_full(t, qd),
+            spec_tile(pd),
+            pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_full(t, vd),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, qd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t, qd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t, pd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 2 * t, pd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t, vd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, pqh, peh, bias, vh, gh, gate2, pen2)
+
+    unhead = lambda x, d: x.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    dq = unhead(dq, qd).astype(q.dtype)
+    dk = unhead(dk, qd).astype(k.dtype)
+    dpq = unhead(dpq, pd).astype(pq.dtype)
+    dv = unhead(dv, vd).astype(v.dtype)
+    # dpe_p: (B*H, 2T, pd) partial sums -> sum over batch, drop the pad row
+    dpe = (
+        dpe_p.reshape(b, h, 2 * t, pd).sum(0).transpose(1, 0, 2)[: 2 * t - 1]
+    ).astype(pe.dtype)
+    return dq, dk, dpq, dpe, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _rel_apply_ad(q, k, pq, pe, bias, v, pen_gate, limit, valid_cols,
+                  out_dtype, interpret):
+    return _pallas_rel_apply(q, k, pq, pe, bias, v, pen_gate[1], out_dtype,
+                             interpret)
+
+
+def _rel_apply_fwd(q, k, pq, pe, bias, v, pen_gate, limit, valid_cols,
+                   out_dtype, interpret):
+    return (
+        _pallas_rel_apply(q, k, pq, pe, bias, v, pen_gate[1], out_dtype,
+                          interpret),
+        (q, k, pq, pe, bias, v, pen_gate),
+    )
+
+
+def _rel_apply_bwd(limit, valid_cols, out_dtype, interpret, res, g):
+    """bias' cotangent is returned as zeros: bias always derives from a
+    boolean padding mask (see rel_attention_apply), so nothing consumes it.
+    pen/gate are loss-side scalars with no output cotangent either."""
+    q, k, pq, pe, bias, v, pen_gate = res
+    pen, gate = pen_gate
+    dq, dk, dpq, dpe, dv = _pallas_rel_apply_bwd(
+        q, k, pq, pe, bias, v, gate, pen, g, limit, valid_cols, interpret
+    )
+    zero = jnp.zeros((), jnp.float32)
+    return dq, dk, dpq, dpe, jnp.zeros_like(bias), dv, (zero, zero)
+
+
+_rel_apply_ad.defvjp(_rel_apply_fwd, _rel_apply_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "interpret", "penalty_limit",
+                     "penalty_valid_cols"),
+)
+def rel_attention_apply(
+    q: jax.Array,  # (B, T, H, qd)
+    k: jax.Array,  # (B, T, H, qd)
+    pq: jax.Array,  # (B, T, H, pd)
+    pe: jax.Array,  # (2T-1, H, pd)
+    key_padding_mask: Optional[jax.Array],  # (B, T) bool or None
+    v: jax.Array,  # (B, T, H, vd)
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    score_penalty: Optional[jax.Array] = None,  # scalar gate*penalty, f32
+    penalty_limit: float = 25.0,
+    penalty_valid_cols: Optional[int] = None,
+    const_gate: Optional[jax.Array] = None,  # scalar 0/1 const-attention gate
+) -> jax.Array:
+    """Fused softmax(rel-pos scores) @ v -> (B, T, H, vd), differentiable.
+
+    The TPU answer to the reference's three probability consumers (ref
+    zipformer.py:1359-1396 SelfAttention x2, :1499-1544 NonlinAttention):
+    each consumer re-derives its score tiles in VMEM instead of sharing one
+    HBM-resident (B, H, T, T) tensor.  T must be a multiple of TILE; use
+    rel_attention_apply_any otherwise.  score_penalty must be attached to
+    exactly ONE apply call per attention-weights module so the failsafe
+    gradient (ref zipformer.py:1254-1269) is counted once.  const_gate
+    implements the detached const-attention branch for the head-0/nonlin
+    consumer (ref zipformer.py:545-556)."""
+    b, t = q.shape[0], q.shape[1]
+    if key_padding_mask is None:
+        bias = jnp.zeros((b, 1, t), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
+            :, None, :
+        ]
+    if score_penalty is None:
+        score_penalty = jnp.zeros((), jnp.float32)
+    if const_gate is None:
+        const_gate = jnp.zeros((), jnp.float32)
+    if penalty_valid_cols is None:
+        penalty_valid_cols = t
+    return _rel_apply_ad(
+        q, k, pq, pe, bias, v,
+        (score_penalty.astype(jnp.float32), const_gate.astype(jnp.float32)),
+        float(penalty_limit), int(penalty_valid_cols), out_dtype, interpret,
+    )
+
+
+def rel_attention_apply_any(
+    q: jax.Array,
+    k: jax.Array,
+    pq: jax.Array,
+    pe: jax.Array,
+    key_padding_mask: Optional[jax.Array],
+    v: jax.Array,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    score_penalty: Optional[jax.Array] = None,
+    penalty_limit: float = 25.0,
+    const_gate: Optional[jax.Array] = None,
+) -> jax.Array:
+    """rel_attention_apply for ANY t via the same pad-and-slice scheme as
+    rel_attention_probs_any: padded key columns carry the -1000 bias so they
+    get zero probability (and contribute 0 * v to the output); padded query
+    rows are sliced away; the penalty is bounded to real key columns."""
+    t = q.shape[1]
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    if t_pad == t:
+        return rel_attention_apply(
+            q, k, pq, pe, key_padding_mask, v, out_dtype, interpret,
+            score_penalty, penalty_limit, None, const_gate,
+        )
+    d = t_pad - t
+    b = q.shape[0]
+    pad3 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
+    qp, kp, pqp, vp = pad3(q), pad3(k), pad3(pq), pad3(v)
+    pep = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((b, t), bool)
+    maskp = jnp.pad(key_padding_mask, ((0, 0), (0, d)), constant_values=True)
+    out = rel_attention_apply(
+        qp, kp, pqp, pep, maskp, vp, out_dtype, interpret,
+        score_penalty, penalty_limit, t, const_gate,
+    )
+    return out[:, :t]
+
+
+# ---------------------------------------------------------------------------
+# Shared-probs forward + flash backward ("consume").
+#
+# Measured on v5e (123M fm_decoder, T=1024): the apply kernel's forward is
+# SLOWER than the probs kernel + XLA einsums at every batch size (B=2:
+# 34.8 -> 37.2 ms, B=8: 47.3 -> 55.3, B=16: 63.9 -> 82.3) — the probs kernel
+# already eliminated the dominant f32 (B,H,T,2T-1) traffic in round 2, and
+# recomputing the VPU-bound shear+softmax once per consumer costs more than
+# the remaining bf16-probs reads.  The apply BACKWARD however is a 21%
+# step win (fwd+bwd 195 -> 154 ms at B=8): it replaces three materialized
+# (B,H,T,T) dprobs adjoints + the ds pass with per-tile recompute.
+#
+# rel_attention_consume keeps the best of both: forward contracts the
+# layer's SHARED materialized probabilities (computed once by the probs
+# kernel, stop-gradient) with this consumer's value stream in XLA; backward
+# ignores the probs residual and runs the flash kernel (_apply_bwd_kernel),
+# emitting dq/dk/dpq/dpe/dv per tile with no (T, T) tensor in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _pad_t(x, d):
+    return jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit, interpret):
+    return jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(v.dtype), v,
+        preferred_element_type=v.dtype,
+    )
+
+
+def _rel_consume_fwd(q, k, pq, pe, bias, probs, v, pen_gate, limit,
+                     interpret):
+    out = _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit,
+                          interpret)
+    return out, (q, k, pq, pe, bias, v, pen_gate)
+
+
+def _rel_consume_bwd(limit, interpret, res, g):
+    """Flash backward with internal pad-to-TILE: q/k/pq/pe/v/g are padded,
+    the kernel recomputes probabilities tile-wise, and the cotangents are
+    sliced back.  probs' cotangent is zeros (a broadcast XLA DCEs under the
+    caller's stop_gradient) — all score gradients flow through the
+    recompute; bias' cotangent is zeros for the same reason as the apply op
+    (always derived from a boolean mask)."""
+    q, k, pq, pe, bias, v, pen_gate = res
+    pen, gate = pen_gate
+    t = q.shape[1]
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    d = t_pad - t
+    if d:
+        qp, kp, pqp, vp, gp = (_pad_t(a, d) for a in (q, k, pq, v, g))
+        pep = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+        biasp = jnp.pad(bias, ((0, 0), (0, 0), (0, d)),
+                        constant_values=-1000.0)
+    else:
+        qp, kp, pqp, vp, gp, pep, biasp = q, k, pq, v, g, pe, bias
+    dq, dk, dpq, dpe, dv = _pallas_rel_apply_bwd(
+        qp, kp, pqp, pep, biasp, vp, gate, pen, gp, limit, t, interpret
+    )
+    if d:
+        dq, dk, dpq, dv = (a[:, :t] for a in (dq, dk, dpq, dv))
+        dpe = dpe[d:d + 2 * t - 1]
+    zero = jnp.zeros((), jnp.float32)
+    b, h = q.shape[0], q.shape[2]
+    dprobs = jnp.zeros((b, h, t, t), v.dtype)
+    return (dq, dk, dpq, dpe, jnp.zeros_like(bias), dprobs, dv, (zero, zero))
+
+
+_rel_consume_ad.defvjp(_rel_consume_fwd, _rel_consume_bwd)
+
+
+def rel_attention_consume(
+    q: jax.Array,  # (B, T, H, qd)
+    k: jax.Array,
+    pq: jax.Array,
+    pe: jax.Array,  # (2T-1, H, pd)
+    key_padding_mask: Optional[jax.Array],
+    probs: jax.Array,  # (B, H, T, T) — SHARED, stop-gradient
+    v: jax.Array,  # (B, T, H, vd)
+    score_penalty: Optional[jax.Array] = None,
+    penalty_limit: float = 25.0,
+    const_gate: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """probs @ v with flash backward; any t (padding handled in backward).
+
+    probs MUST be stop_gradient(...) of probabilities computed from exactly
+    (q, k, pq, pe, mask) — the backward recomputes them tile-wise, so a
+    mismatched probs input silently yields wrong gradients.  score_penalty
+    attaches the failsafe gradient (exactly one consumer per layer);
+    const_gate marks the probs as the detached const-attention branch
+    (ds = 0, dv through the recomputed const probabilities)."""
+    b, t = q.shape[0], q.shape[1]
+    if key_padding_mask is None:
+        bias = jnp.zeros((b, 1, t), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
+            :, None, :
+        ]
+    if score_penalty is None:
+        score_penalty = jnp.zeros((), jnp.float32)
+    if const_gate is None:
+        const_gate = jnp.zeros((), jnp.float32)
+    return _rel_consume_ad(
+        q, k, pq, pe, bias, probs, v,
+        (score_penalty.astype(jnp.float32), const_gate.astype(jnp.float32)),
+        float(penalty_limit), interpret,
+    )
+
+
 def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
     b, t, h, qd = q.shape
     pd = pq.shape[-1]
