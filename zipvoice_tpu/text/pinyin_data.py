@@ -171,6 +171,40 @@ _CHAR_DATA = (
     "吐tu3呆dai1违wei2亭ting2眉mei2撞zhuang4贷dai4刊kan1巡xun2屈qu1堆dui1"
     "曼man4饰shi4碎sui4滚gun3悉xi1寄ji4浜bang1迟chi2描miao2污wu1辅fu3"
     "魔mo2烦fan2鼻bi2盗dao4餐can1辖xia2威wei1"
+    # extension r3: the top missing characters ranked by jieba dict word
+    # frequency (raised table coverage of that mass from 93.8% to ~95.7%)
+    "幼you4凉liang2仗zhang4冈gang1澳ao4驾jia4菌jun1肚du4肃su4爸ba4仰yang3"
+    "抚fu3慈ci2扶fu2盆pen2仿fang3炼lian4纲gang1倘tang3碗wan3杰jie2忧you1"
+    "惜xi1扫sao3暂zan4祝zhu4跨kua4渔yu2宾bin1漫man4寿shou4猪zhu1涌yong3"
+    "凝ning2邻lin2赴fu4恰qia4劝quan4仇chou2践jian4顷qing3赋fu4悄qiao1莱lai2"
+    "拟ni3贤xian2愤fen4姆mu3乏fa2轰hong1粒li4逼bi1傅fu4陕shan3昆kun1"
+    "溶rong2葬zang4燃ran2魂hun2挺ting3腊la4耐nai4犹you2辉hui1乳ru3陪pei2"
+    "颇po1斜xie2棋qi2熊xiong2浅qian3沈shen3姊zi3返fan3翼yi4丧sang4拖tuo1"
+    "惨can3俊jun4驱qu1袖xiu4惠hui4涂tu2牵qian1添tian1咸xian2详xiang2"
+    "碰peng4割ge1侯hou2纤xian1柔rou2档dang4糊hu2岂qi3跪gui4拒ju4覆fu4"
+    "绣xiu4吓xia4宿su4偶ou3揭jie1赖lai4烤kao3卢lu2娃wa2颗ke1邮you2"
+    "扇shan4伐fa2循xun2衰shuai1弦xian2凯kai3羽yu3枚mei2帅shuai4锁suo3"
+    "疏shu1搭da1俱ju4帐zhang4胶jiao1赫he4埋mai2蒸zheng1壳ke2彼bi3"
+    "脏zang1箱xiang1浙zhe4弯wan1瓜gua1挡dang3拱gong3筹chou2疆jiang1"
+    "肿zhong3膜mo2刷shua1杆gan1凶xiong1债zhai4甜tian2泡pao4玄xuan2"
+    "贾jia3谱pu3夹jia1乾qian2遣qian3薪xin1灌guan4咬yao3尘chen2填tian2"
+    "廊lang2钻zuan1丛cong2狼lang2牢lao2脊ji3熙xi1卒zu2碑bei1漠mo4"
+    "躲duo3削xiao1徽hui1踏ta4贺he4朵duo3遵zun1狠hen3菲fei1撒sa1扰rao3"
+    "蛇she2锡xi1炉lu2纹wen2匹pi3亏kui1鉴jian4慕mu4跌die1慌huang1穆mu4"
+    "邀yao1芳fang1爬pa2豫yu4吾wu2奸jian1棒bang4淮huai2捷jie2耕geng1"
+    "艘sou1齿chi3醉zui4脂zhi1兽shou4滴di1盈ying2卵luan3滋zi1柴chai2"
+    "溪xi1浠xi1妃fei1碍ai4瓶ping2辩bian4遂sui4怨yuan4拨bo1肌ji1俘fu2"
+    "挖wa1恒heng2励li4鸣ming2肝gan1腔qiang1偿chang2秒miao3拦lan2允yun3"
+    "塑su4拆chai1靖jing4耗hao4凌ling2披pi1胁xie2吏li4纽niu3烂lan4"
+    "尝chang2垸yuan4辟pi4耶ye1艰jian1佩pei4敦dun1疼teng2荐jian4厘li2"
+    "匠jiang4柏bai3悠you1壤rang3拾shi2乔qiao2轴zhou2妖yao1喷pen1掩yan3"
+    "璃li2孟meng4轨gui3歇xie1猜cai1晨chen2桑sang1坊fang1堤di1畅chang4"
+    "瞎xia1氨an1辨bian4鞋xie2昏hun1恭gong1畜chu4浩hao4迪di2雾wu4丢diu1"
+    "咨zi1擦ca1窝wo1洁jie2飘piao1搬ban1捉zhuo1奈nai4肤fu1愁chou2"
+    "砖zhuan1辣la4幽you1嘛ma5赢ying2"
+    # everyday food / object characters absent from the frequency head
+    "苹ping2咖ka1啡fei1蔬shu1蕉jiao1葡pu2萄tao2莓mei2樱ying1柠ning2"
+    "檬meng2橙cheng2"
 )
 
 CHAR_PINYIN: Dict[str, str] = {
@@ -184,6 +218,9 @@ CHAR_PINYIN: Dict[str, str] = {
 # --------------------------------------------------------------------------
 
 _WORD_DATA: Tuple[Tuple[str, str], ...] = (
+    # polyphones among the r3 extension characters
+    ("钻石", "zuan4 shi2"), ("畜牧", "xu4 mu4"), ("地壳", "di4 qiao4"),
+    ("复辟", "fu4 bi4"), ("咖喱", "ga1 li2"), ("剥削", "bo1 xue1"),
     # 长 chang2 / zhang3
     ("长大", "zhang3 da4"), ("成长", "cheng2 zhang3"), ("增长", "zeng1 zhang3"),
     ("生长", "sheng1 zhang3"), ("长辈", "zhang3 bei4"), ("校长", "xiao4 zhang3"),
