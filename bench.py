@@ -77,7 +77,7 @@ def _train_throughput(cfg) -> float:
     float(m["loss"])
     step_time = (time.monotonic() - t0) / n
     audio_seconds = float(np.sum(batch["features_lens"])) * 256 / 24000
-    return audio_seconds / step_time
+    return audio_seconds / step_time, step_time, (b, t)
 
 
 def _batched_throughput(cfg, params, batch: int = 8) -> float:
@@ -119,11 +119,14 @@ def _batched_throughput(cfg, params, batch: int = 8) -> float:
     return batch * SECONDS_OF_AUDIO / float(np.min(times))
 
 
-def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype) -> float:
-    """ZipVoice-Distill low-latency mode: 8 Euler steps, NO CFG doubling
-    (guidance rides in as a scale embedding — ref zipvoice_distill.py:67,
-    infer defaults ref infer_zipvoice.py:484-487).  Fused one-program path,
-    same 10 s request as the headline."""
+def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
+                 num_steps=(8,), budget_ok=lambda label: True) -> dict:
+    """ZipVoice-Distill low-latency modes: 8 Euler steps by default (the CLI
+    default, ref infer_zipvoice.py:484-487) plus the paper's 1-4 step claims
+    (ref run_emilia.sh:90-104), NO CFG doubling (guidance rides in as a scale
+    embedding — ref zipvoice_distill.py:67).  Fused one-program path, same
+    10 s request as the headline.  Returns {num_step: rtf}; each step count
+    is a fresh compile, so later entries are deadline-guarded."""
     import jax
     import jax.numpy as jnp
 
@@ -142,21 +145,29 @@ def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype) -> float:
     prompt_dev = jnp.asarray(prompt_feats, dtype)
     batch_in = pipe._prepare_sample_inputs(tokens, prompt_tokens, prompt_dev,
                                            1.0, 666)
-    fused = pipe._sample_pcm_fn(8, 3.0, 0.5)
     out_samples = max(batch_in.gen_len - 1, 1) * pipe.vocos_cfg.hop_length
 
-    def run():
-        t0 = time.monotonic()
-        pcm, _ = fused(pipe.params, pipe.vocos_params, *batch_in.args)
-        wav = np.asarray(pcm[0])[:out_samples]
-        return wav, time.monotonic() - t0
+    results = {}
+    for i, num_step in enumerate(num_steps):
+        if i > 0 and not budget_ok(f"distill_rtf_{num_step}step"):
+            continue
+        fused = pipe._sample_pcm_fn(num_step, 3.0, 0.5)
 
-    run()
-    times = []
-    for _ in range(5):
-        wav, t = run()
-        times.append(t)
-    return float(np.min(times)) / (wav.shape[-1] / feat_cfg.sampling_rate)
+        def run():
+            t0 = time.monotonic()
+            pcm, _ = fused(pipe.params, pipe.vocos_params, *batch_in.args)
+            wav = np.asarray(pcm[0])[:out_samples]
+            return wav, time.monotonic() - t0
+
+        run()
+        times = []
+        for _ in range(5):
+            wav, t = run()
+            times.append(t)
+        results[num_step] = float(np.min(times)) / (
+            wav.shape[-1] / feat_cfg.sampling_rate
+        )
+    return results
 
 
 def _bf16_fidelity(cfg, feat_cfg) -> float:
@@ -335,18 +346,44 @@ def main():
         skipped.append(label)
         return False
 
-    batched_tp = bf16_mse = train_tp = distill_rtf = None
+    batched_tp = bf16_mse = train_tp = None
+    train_mfu = None
+    distill_rtfs = {}
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
     if budget_ok("serving_b8"):
         batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
     if budget_ok("bf16_fidelity"):
         bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
     if budget_ok("train_throughput"):
-        train_tp = round(_train_throughput(cfg), 2)
+        train_tp, train_step_time, (tb, tt) = _train_throughput(cfg)
+        train_tp = round(train_tp, 2)
     if budget_ok("distill_rtf"):
-        distill_rtf = round(
-            _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype), 5
+        distill_rtfs = _distill_rtf(
+            feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
+            num_steps=(8, 4, 2, 1), budget_ok=budget_ok,
         )
+
+    # --- analytic FLOPs / MFU (VERDICT r2 weak #4: roofline-stable progress
+    # metric instead of tunnel-jittered wall clock).  Shapes are the PADDED
+    # compute shapes the chip actually runs (frame bucket 1024, token bucket
+    # padding) — algorithmic GEMM FLOPs from the config, utils/flops.py.
+    from zipvoice_tpu.utils.flops import (
+        mfu, peak_bf16_tflops, sampler_flops, train_step_flops,
+        vocos_fwd_flops,
+    )
+
+    device_kind = jax.devices()[0].device_kind
+    t_padded = 1024  # 938 frames -> 1024 bucket (pipeline frame_bucket 128)
+    n_tok_padded = 160
+    infer_flops = sampler_flops(cfg, t_padded, n_tok_padded, NUM_STEP,
+                                cfg_doubling=True)
+    fused_flops = infer_flops + vocos_fwd_flops(t_padded)
+    model_seconds = rtf * wav_secs  # fused program wall time per request
+    infer_mfu = mfu(fused_flops, model_seconds, device_kind)
+    if train_tp is not None:
+        tr_flops = train_step_flops(cfg, tb, tt, 128)
+        train_mfu = round(mfu(tr_flops, train_step_time, device_kind), 4)
+
     result = {
         "metric": "inference_rtf_zipvoice123M_16step",
         "value": round(rtf, 5),
@@ -358,9 +395,16 @@ def main():
             "rtf_vocoder": round(tv / wav_secs, 5),
             "wav_seconds": round(wav_secs, 2),
             "serving_b8_audio_sec_per_sec": batched_tp,
-            "distill_rtf_8step": distill_rtf,
+            "distill_rtf_8step": round(distill_rtfs[8], 5) if 8 in distill_rtfs else None,
+            "distill_rtf_low_step": {
+                str(k): round(v, 5) for k, v in distill_rtfs.items() if k != 8
+            },
             "train_sec_audio_per_sec_per_chip": train_tp,
             "bf16_mel_mse_vs_f32": bf16_mse,
+            "model_tflops_per_request": round(fused_flops / 1e12, 3),
+            "mfu_infer_fused": round(infer_mfu, 4),
+            "mfu_train": train_mfu,
+            "peak_bf16_tflops": peak_bf16_tflops(device_kind),
             "skipped_over_deadline": skipped,
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",

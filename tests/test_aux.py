@@ -390,3 +390,97 @@ def test_train_finetune_flag(tmp_path, monkeypatch):
     assert captured["schedule"] == "fixed"
     assert captured["offset"] == 100000.0
     assert (tmp_path / "exp" / "epoch-1.pt").exists()
+
+
+def test_analytic_flops_close_to_xla_count():
+    """utils/flops.py GEMM accounting vs XLA's own cost analysis: analytic
+    counts matmul/conv MACs only, so it must land slightly BELOW XLA's
+    all-ops count but within ~20% (bench.py's MFU relies on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.config import ZipformerConfig
+    from zipvoice_tpu.nn import zipformer as zf
+    from zipvoice_tpu.utils.flops import zipformer_fwd_flops
+
+    cfg = ZipformerConfig(
+        in_dim=32, out_dim=32, downsampling_factor=(1, 2, 1),
+        num_encoder_layers=(2, 2, 2), cnn_module_kernel=(7, 7, 7),
+        encoder_dim=64, query_head_dim=16, pos_head_dim=4, value_head_dim=8,
+        num_heads=4, feedforward_dim=128, pos_dim=16, use_time_embed=True,
+        time_embed_dim=32,
+    )
+    p = zf.init_tts_zipformer(jax.random.PRNGKey(0), cfg)
+    t = 256
+    # unrolled layers: under lax.scan XLA's cost analysis counts the scanned
+    # layer body once instead of num_layers times
+    zf.set_scan_layers(False)
+    try:
+        f = jax.jit(lambda p, x, tt: zf.tts_zipformer_forward(p, cfg, x, tt))
+        comp = f.lower(p, jnp.zeros((2, t, 32)), jnp.zeros((2,))).compile()
+    finally:
+        zf.set_scan_layers(True)
+    ca = comp.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    xla_flops = float(ca["flops"])
+    mine = zipformer_fwd_flops(cfg, t, batch=2)
+    assert 0.8 * xla_flops < mine <= 1.05 * xla_flops, (mine, xla_flops)
+
+
+def test_peak_tflops_lookup():
+    from zipvoice_tpu.utils.flops import mfu, peak_bf16_tflops
+
+    assert peak_bf16_tflops("TPU v5 lite0") == 197.0
+    assert peak_bf16_tflops("TPU v4") == 275.0
+    assert peak_bf16_tflops("unknown accelerator") == 197.0
+    # 98.5 TFLOP in 1s on a v5e = 50% MFU
+    assert abs(mfu(98.5e12, 1.0, "TPU v5 lite") - 0.5) < 1e-9
+
+
+def test_tb_writer_roundtrip(tmp_path):
+    """Pure-python TB event writer: records parse back (both framing CRCs
+    verified) with the file_version header and exact scalar values."""
+    import struct
+
+    from zipvoice_tpu.utils.tb_writer import TBWriter, read_events
+
+    tb = TBWriter(tmp_path / "tb")
+    tb.add_scalars(1, {"train/loss": 0.5, "train/lr": 1e-3})
+    tb.add_scalar("valid/loss", 0.25, step=7)
+    events = read_events(tb.path)
+    assert len(events) == 3
+    _, _, s0 = events[0]
+    assert s0 == {}  # file_version header record
+    _, step1, s1 = events[1]
+    assert step1 == 1
+    assert abs(s1["train/loss"] - 0.5) < 1e-7
+    assert abs(s1["train/lr"] - 1e-3) < 1e-9
+    _, step2, s2 = events[2]
+    assert step2 == 7 and abs(s2["valid/loss"] - 0.25) < 1e-7
+
+    # known-answer CRC32C check (IETF test vector: "123456789" -> 0xe3069283)
+    from zipvoice_tpu.utils.tb_writer import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283
+
+
+def test_trainer_writes_tb_events(tmp_path):
+    """Trainer._log mirrors scalar records into the exp dir's tensorboard/
+    event file (ref train_zipvoice.py:712-725)."""
+    from zipvoice_tpu.train.trainer import Trainer
+    from zipvoice_tpu.utils.tb_writer import read_events
+
+    t = Trainer.__new__(Trainer)  # log plumbing only, no model
+    from zipvoice_tpu.train.trainer import TrainerOptions
+
+    t.opts = TrainerOptions(exp_dir=str(tmp_path))
+    t._log_path = tmp_path / "train_log.jsonl"
+    t._tb = None
+    t.batch_idx_train = 3
+    t._log({"step": 3, "epoch": 1, "loss": 1.25, "lr": 0.01})
+    files = list((tmp_path / "tensorboard").glob("events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_events(files[0])
+    assert events[-1][1] == 3
+    assert abs(events[-1][2]["train/loss"] - 1.25) < 1e-7
+    assert "train/epoch" not in events[-1][2]

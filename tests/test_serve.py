@@ -174,3 +174,24 @@ def test_custom_sampling_rejected_when_pinned(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+def test_variant_serving_defaults_match_reference():
+    """Per-variant sampling defaults the serving/infer CLIs resolve when
+    --num-step/--guidance-scale are omitted (ref infer_zipvoice.py:479-488:
+    zipvoice 16/1.0, distill 8/3.0; infer_zipvoice_dialog.py:139-144:
+    dialog 16/1.5)."""
+    from zipvoice_tpu.io.model_dir import MODEL_REGISTRY
+
+    expect = {
+        "zipvoice": (16, 1.0, 0.5, False),
+        "zipvoice_distill": (8, 3.0, 0.5, True),
+        "zipvoice_dialog": (16, 1.5, 0.5, False),
+        "zipvoice_dialog_stereo": (16, 1.5, 0.5, False),
+    }
+    for name, (steps, gs, t_shift, distill) in expect.items():
+        reg = MODEL_REGISTRY[name]
+        assert reg["num_step"] == steps, name
+        assert reg["guidance_scale"] == gs, name
+        assert reg["t_shift"] == t_shift, name
+        assert reg["distill"] == distill, name

@@ -138,6 +138,7 @@ def main():
             log_interval=args.log_interval,
             seed=args.seed,
             lr_hours=args.lr_hours,
+            frame_rate=feat_cfg.frame_rate,
             max_duration=args.max_duration,
             inf_check=args.inf_check,
             batch_count_offset=100000.0 if args.finetune else 0.0,

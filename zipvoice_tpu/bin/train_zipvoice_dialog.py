@@ -111,6 +111,7 @@ def main(stereo: bool = False):
             keep_last_k=args.keep_last_k, average_period=args.average_period,
             valid_interval=args.valid_interval, log_interval=args.log_interval,
             seed=args.seed, lr_hours=args.lr_hours,
+            frame_rate=feat_cfg.frame_rate,
             max_duration=args.max_duration,
             batch_count_offset=args.finetune_batch_count_offset,
         ),

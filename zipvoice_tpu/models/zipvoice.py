@@ -163,6 +163,11 @@ def forward_text_condition(
     """
     padding_mask = make_pad_mask(features_lens, num_frames)
     idx = average_duration_token_index(tokens_lens, features_lens, num_frames)
+    # leftover frames index tokens_lens — the extra pad column pad_labels
+    # appends (ref common.py:255-269).  Clamp to the actual S so a caller
+    # that padded exactly to tokens_lens degrades to the last embedding
+    # instead of an out-of-bounds gather (NaN fill under jit).
+    idx = jnp.minimum(idx, embed.shape[1] - 1)
     text_condition = jnp.take_along_axis(embed, idx[:, :, None], axis=1)
     return text_condition, padding_mask
 

@@ -66,6 +66,11 @@ class TrainerOptions:
     batch_count_offset: float = 0.0
     # numerical watchdogs (ref --inf-check, train_zipvoice.py:233-238)
     inf_check: bool = False
+    # feature frames per second, used to convert features_lens into seen
+    # hours for the --lr-hours Eden key; MUST follow the feature config
+    # (24kHz/256-hop default; other configs would silently mis-key the LR
+    # schedule if this stayed hardcoded)
+    frame_rate: float = 93.75
 
 
 class Trainer:
@@ -113,6 +118,7 @@ class Trainer:
 
         Path(options.exp_dir).mkdir(parents=True, exist_ok=True)
         self._log_path = Path(options.exp_dir) / "train_log.jsonl"
+        self._tb = None  # lazily-created TBWriter (first _log call)
 
     # ---------------------------------------------------------------- utils
 
@@ -135,6 +141,19 @@ class Trainer:
                   for k, v in record.items()}
         with open(self._log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        # mirror scalars into TensorBoard event files (ref
+        # train_zipvoice.py:712-725; writer is pure-python, utils/tb_writer)
+        if self._tb is None:
+            from zipvoice_tpu.utils.tb_writer import TBWriter
+
+            self._tb = TBWriter(Path(self.opts.exp_dir) / "tensorboard")
+        step = int(record.get("step", self.batch_idx_train))
+        scalars = {
+            f"train/{k}": v for k, v in record.items()
+            if k not in ("step", "epoch") and isinstance(v, float)
+        }
+        if scalars:
+            self._tb.add_scalars(step, scalars)
 
     # ---------------------------------------------------------------- steps
 
@@ -144,7 +163,7 @@ class Trainer:
             jax.random.PRNGKey(self.opts.seed), self.batch_idx_train
         )
         frames = float(np.sum(batch["features_lens"]))
-        self.seen_seconds += frames / 93.75  # 24kHz / 256-hop frame rate
+        self.seen_seconds += frames / self.opts.frame_rate
         batch = self._shard(batch)
         if self._sched_fn is not None:
             from zipvoice_tpu.train.schedules import adjusted_batch_count
