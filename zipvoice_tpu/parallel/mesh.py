@@ -40,9 +40,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays with batch-dim sharding."""
+    """Place a pytree of host arrays with batch-dim sharding.
+
+    Single-process: a plain sharded device_put.  Multi-process: each process
+    holds its PER-HOST shard (the DurationBucketSampler shards the manifest
+    by host), so the global array is assembled with
+    make_array_from_process_local_data — device_put alone cannot target the
+    other hosts' (non-addressable) devices."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, s), batch)
+    nproc = jax.process_count()
+
+    def put(a):
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * nproc,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(s, a, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
