@@ -170,6 +170,42 @@ def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
     return results
 
 
+def _vocoder_on_chip(feat_cfg, vocos_params, dtype, n: int = 50) -> float:
+    """True on-chip vocoder cost: N decodes chained in a lax.scan so the
+    remote-tunnel dispatch+readback latency amortizes away.  Measured r3:
+    0.90 ms per 10 s request (rtf 0.00009) — the split-pipeline
+    `rtf_vocoder` 0.00575 of round 2 was ~97% tunnel round-trip, not
+    compute, which exonerates the ISTFT head (VERDICT r2 #5): the matmul
+    DFT + shifted-adds overlap-add is already fused by XLA to well under
+    1 ms for the whole ConvNeXt+ISTFT stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.audio.vocos import VocosConfig, vocos_decode
+
+    vcfg = VocosConfig()
+    t = int(SECONDS_OF_AUDIO * feat_cfg.sampling_rate / feat_cfg.hop_length)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, t, 100)), dtype)
+
+    def body(carry, _):
+        out = vocos_decode(vocos_params, mel + carry * 1e-6, vcfg)
+        return jnp.mean(out).astype(dtype), jnp.sum(out)
+
+    @jax.jit
+    def chained():
+        _, outs = jax.lax.scan(body, jnp.asarray(0.0, dtype), None, length=n)
+        return outs
+
+    o = chained()
+    float(np.asarray(o[0], np.float32))
+    t0 = time.monotonic()
+    o = chained()
+    float(np.asarray(o[0], np.float32))
+    per = (time.monotonic() - t0) / n
+    return per / ((t - 1) * feat_cfg.hop_length / feat_cfg.sampling_rate)
+
+
 def _bf16_fidelity(cfg, feat_cfg) -> float:
     """Mel MSE of the bf16 jitted sampler vs the f32 sampler on the SAME
     weights and noise — the fidelity cost of the deployment dtype on this
@@ -346,10 +382,12 @@ def main():
         skipped.append(label)
         return False
 
-    batched_tp = bf16_mse = train_tp = None
+    batched_tp = bf16_mse = train_tp = voc_chip = None
     train_mfu = None
     distill_rtfs = {}
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
+    if budget_ok("vocoder_on_chip"):
+        voc_chip = float(f"{_vocoder_on_chip(feat_cfg, pipe.vocos_params, dtype):.2e}")
     if budget_ok("serving_b8"):
         batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
     if budget_ok("bf16_fidelity"):
@@ -393,6 +431,7 @@ def main():
             "rtf_split_pipeline": round(rtf_split, 5),
             "rtf_model": round(tm / wav_secs, 5),
             "rtf_vocoder": round(tv / wav_secs, 5),
+            "rtf_vocoder_on_chip": voc_chip,
             "wav_seconds": round(wav_secs, 2),
             "serving_b8_audio_sec_per_sec": batched_tp,
             "distill_rtf_8step": round(distill_rtfs[8], 5) if 8 in distill_rtfs else None,

@@ -471,3 +471,46 @@ def test_pipeline_is_garbage_collectable(model_dir):
     del pipe
     gc.collect()
     assert ref() is None, "pipeline still reachable after deletion"
+
+
+def test_explicit_timesteps_schedule(model_dir):
+    """Custom Euler grids (EPSS-style pruned schedules, arXiv 2505.19931):
+    passing the exact t-shift grid reproduces the num_step path bit-for-bit;
+    a pruned 4-knot grid runs (fewer model evals) and differs; invalid grids
+    are rejected."""
+    import pytest as _pytest
+
+    from zipvoice_tpu.sampling.euler import get_time_steps, validate_time_steps
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, tokenizer=assets.tokenizer,
+        token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(2)
+    tokens = [3, 4, 5, 6]
+    prompt_tokens = [5, 6]
+    prompt_feats = (rng.standard_normal((9, 20)) * 0.1).astype(np.float32)
+    noise = rng.standard_normal((1, 256, 20)).astype(np.float32)
+
+    mel_a, len_a = pipe.sample_features(
+        tokens, prompt_tokens, prompt_feats, num_step=3, t_shift=0.5,
+        noise=noise.copy())
+    grid = get_time_steps(0.0, 1.0, 3, 0.5)
+    mel_b, len_b = pipe.sample_features(
+        tokens, prompt_tokens, prompt_feats, num_step=99, t_shift=0.9,
+        noise=noise.copy(), timesteps=tuple(float(t) for t in grid))
+    assert len_a == len_b
+    np.testing.assert_array_equal(mel_a, mel_b)
+
+    mel_c, _ = pipe.sample_features(
+        tokens, prompt_tokens, prompt_feats, noise=noise.copy(),
+        timesteps=(0.0, 0.4, 0.7, 0.9, 1.0))
+    assert np.abs(mel_c - mel_a).max() > 1e-6  # genuinely different schedule
+
+    with _pytest.raises(ValueError):
+        validate_time_steps([0.5, 0.2, 1.0])
+    with _pytest.raises(ValueError):
+        validate_time_steps([0.3])

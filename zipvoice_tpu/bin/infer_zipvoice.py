@@ -62,6 +62,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="Speech speed control (>1 speeds up)")
     parser.add_argument("--t-shift", type=float, default=0.5,
                         help="Timestep shift toward low SNR if < 1.0")
+    parser.add_argument("--timesteps", type=str, default=None,
+                        help="Explicit comma-separated Euler grid in [0,1] "
+                             "(e.g. '0,0.4,0.7,0.9,1'), overriding "
+                             "--num-step/--t-shift — supports empirically "
+                             "pruned step schedules (EPSS)")
     parser.add_argument("--target-rms", type=float, default=0.1,
                         help="Prompt RMS normalization target (0 disables)")
     parser.add_argument("--seed", type=int, default=666, help="Random seed")
@@ -155,14 +160,20 @@ def main():
 
     pipeline, num_step, guidance_scale = build_pipeline(args)
     sr = pipeline.feat_cfg.sampling_rate
+    timesteps = (
+        tuple(float(x) for x in args.timesteps.split(","))
+        if args.timesteps else None
+    )
 
     def synth_one(prompt_text, prompt_wav_path, text, out_path):
         wav, wav_sr = read_wav(prompt_wav_path)
+        extra = {} if args.long_form else {"timesteps": timesteps}
         synth = pipeline.synthesize_long if args.long_form else pipeline.synthesize
         res = synth(
             text=text, prompt_text=prompt_text, prompt_wav=wav, prompt_sr=wav_sr,
             num_step=num_step, guidance_scale=guidance_scale, speed=args.speed,
             t_shift=args.t_shift, target_rms=args.target_rms, seed=args.seed,
+            **extra,
         )
         write_wav(out_path, res.wav, sr)
         m = res.metrics

@@ -126,7 +126,8 @@ class ZipVoicePipeline:
     # ------------------------------------------------------------------ jits
 
     @_instance_cache
-    def _sample_fn(self, num_step: int, guidance_scale: float, t_shift: float):
+    def _sample_fn(self, num_step: int, guidance_scale: float,
+                   t_shift: float, timesteps: tuple = None):
         cfg = self.model_cfg
         distill = self.distill
         feat_scale, feat_bias = self.feat_cfg.feat_scale, self.feat_cfg.feat_bias
@@ -141,7 +142,7 @@ class ZipVoicePipeline:
                     params, cfg, tokens_padded, tokens_lens, prompt_features,
                     prompt_features_lens, features_lens, noise,
                     num_step=num_step, guidance_scale=guidance_scale,
-                    t_shift=t_shift, distill=distill,
+                    t_shift=t_shift, distill=distill, timesteps=timesteps,
                 )
             else:
                 from zipvoice_tpu.models.dialog import sample_dialog
@@ -282,6 +283,7 @@ class ZipVoicePipeline:
         t_shift: float = 0.5,
         target_rms: float = 0.1,
         seed: int = 666,
+        timesteps=None,
     ) -> SynthesisResult:
         assert self.tokenizer is not None, "pipeline needs a tokenizer"
         t0 = time.monotonic()
@@ -292,7 +294,7 @@ class ZipVoicePipeline:
         mel, gen_len = self.sample_features(
             tokens, prompt_tokens, pf, num_step=num_step,
             guidance_scale=guidance_scale, speed=speed, t_shift=t_shift,
-            seed=seed,
+            seed=seed, timesteps=timesteps,
         )
         t1 = time.monotonic()
 
@@ -389,12 +391,18 @@ class ZipVoicePipeline:
         t_shift: float = 0.5,
         seed: int = 666,
         noise: Optional[np.ndarray] = None,
+        timesteps=None,
     ) -> Tuple[np.ndarray, int]:
-        """Run the jitted ODE program.  Returns ((T_bucket, F) mel, gen_len)."""
+        """Run the jitted ODE program.  Returns ((T_bucket, F) mel, gen_len).
+
+        timesteps: optional explicit Euler grid (EPSS-style pruned
+        schedules, arXiv 2505.19931) overriding num_step/t_shift."""
         batch = self._prepare_sample_inputs(
             tokens, prompt_tokens, prompt_feats, speed, seed, noise
         )
-        run = self._sample_fn(int(num_step), float(guidance_scale), float(t_shift))
+        ts_key = None if timesteps is None else tuple(float(t) for t in timesteps)
+        run = self._sample_fn(int(num_step), float(guidance_scale),
+                              float(t_shift), ts_key)
         mel, _ = run(self.params, *batch.args)
         # mel stays on device (the vocoder consumes it there), and gen_len is
         # host arithmetic — the request runs sync-free until the wav readback

@@ -306,6 +306,7 @@ def sample(
     guidance_scale: float = 1.0,
     t_shift: float = 1.0,
     distill: bool = False,
+    timesteps=None,
 ) -> jax.Array:
     """Generate mel features given concatenated prompt+target tokens
     (ref zipvoice.py:388-486), as one shape-static jittable program.
@@ -339,7 +340,7 @@ def sample(
     return euler_sample(
         params, cfg, noise, text_condition, speech_condition, padding_mask,
         num_step=num_step, guidance_scale=guidance_scale, t_shift=t_shift,
-        distill=distill,
+        distill=distill, timesteps=timesteps,
     )
 
 

@@ -40,6 +40,20 @@ def get_time_steps(
     return ts.astype(np.float32)
 
 
+def validate_time_steps(timesteps) -> np.ndarray:
+    """Normalize an explicit timestep grid (EPSS-style pruned schedules,
+    arXiv 2505.19931: non-uniform, empirically tuned step placements can
+    match many-step quality with far fewer evaluations).  Must be a
+    strictly-increasing 1-D grid inside [0, 1] with >= 2 knots; the solver
+    takes one Euler step per consecutive pair."""
+    ts = np.asarray(timesteps, np.float32).reshape(-1)
+    if ts.size < 2:
+        raise ValueError(f"timesteps needs >= 2 knots, got {ts.size}")
+    if not (np.all(np.diff(ts) > 0) and ts[0] >= 0.0 and ts[-1] <= 1.0):
+        raise ValueError(f"timesteps must strictly increase within [0, 1]: {ts}")
+    return ts
+
+
 def cfg_velocity(
     params: Params,
     cfg: ZipVoiceConfig,
@@ -102,6 +116,7 @@ def euler_sample(
     t_end: float = 1.0,
     t_shift: float = 1.0,
     distill: bool = False,
+    timesteps=None,
 ) -> jax.Array:
     """Euler ODE integration (ref solver.py:182-240) as a lax.scan.
 
@@ -109,10 +124,17 @@ def euler_sample(
     the per-step timestep, delta and dual-condition flag (t > 0.5 drops the
     speech condition, else doubles the scale — ref solver.py:90-98) ride in
     as scanned scalars, selected with jnp.where.
+
+    timesteps: optional explicit trace-time grid overriding
+    num_step/t_shift — supports empirically pruned step schedules
+    (EPSS, arXiv 2505.19931), beyond the reference's shift family.
     """
     from zipvoice_tpu.models.zipvoice import forward_fm_decoder
 
-    ts = get_time_steps(t_start, t_end, num_step, t_shift)
+    if timesteps is not None:
+        ts = validate_time_steps(timesteps)
+    else:
+        ts = get_time_steps(t_start, t_end, num_step, t_shift)
     t_steps = jnp.asarray(ts[:-1], jnp.float32)
     dts = jnp.asarray(ts[1:] - ts[:-1], jnp.float32)
     drop_speech = jnp.asarray(ts[:-1] > 0.5)
