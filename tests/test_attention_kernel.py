@@ -668,3 +668,65 @@ def test_consume_gradients_match_xla(t):
             np.asarray(a), np.asarray(b_), atol=5e-5,
             err_msg=f"consume grad mismatch for {name}",
         )
+
+
+def test_train_step_with_consume_path(monkeypatch):
+    """Full make_train_step with the fused consume path forced on (interpret
+    mode): proves the flash backward composes with lax.scan-of-remat layers,
+    the regularizer schedules, and ScaledAdam inside one jit — the exact
+    production training configuration on TPU."""
+    import zipvoice_tpu.ops.attention as att
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.nn import zipformer as zf
+    from zipvoice_tpu.train.scaled_adam import scaled_adam
+    from zipvoice_tpu.train.schedules import zipvoice_schedules
+    from zipvoice_tpu.train.step import TrainConfig, make_train_step
+
+    _interp_patch(monkeypatch)
+    cfg = ZipVoiceConfig(
+        fm_decoder_downsampling_factor=(1,), fm_decoder_num_layers=(2,),
+        fm_decoder_cnn_module_kernel=(3,), fm_decoder_feedforward_dim=32,
+        fm_decoder_num_heads=2, fm_decoder_dim=16,
+        text_encoder_num_layers=1, text_encoder_feedforward_dim=16,
+        text_encoder_cnn_module_kernel=3, text_encoder_num_heads=2,
+        text_encoder_dim=16, time_embed_dim=8, text_embed_dim=16,
+        query_head_dim=4, value_head_dim=4, pos_head_dim=2, pos_dim=4,
+        feat_dim=8, vocab_size=12, pad_id=0,
+    )
+    rng = np.random.default_rng(0)
+    t = 128  # >= TILE so the fused path engages
+    batch = {
+        "tokens": rng.integers(1, 12, (2, 8)).astype(np.int32),
+        "tokens_lens": np.full((2,), 6, np.int32),
+        "features": rng.standard_normal((2, t, 8)).astype(np.float32),
+        "features_lens": np.full((2,), t, np.int32),
+    }
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    opt = scaled_adam(clipping_scale=2.0)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, TrainConfig(compute_dtype="float32",
+                                                 use_regularizers=True))
+    sched = zipvoice_schedules(100.0, cfg)
+
+    zf.set_fused_attention(True)
+    try:
+        p1, o1, m1 = step(params, opt_state, batch, jax.random.PRNGKey(1),
+                          np.int32(1), np.float32(0), sched)
+        loss_fused = float(m1["loss"])
+    finally:
+        zf.set_fused_attention(None)
+
+    # the step donates params/opt_state buffers — rebuild identical inputs
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+    p2, o2, m2 = step(params, opt_state, batch, jax.random.PRNGKey(1),
+                      np.int32(1), np.float32(0), sched)
+    loss_xla = float(m2["loss"])
+    assert np.isfinite(loss_fused)
+    np.testing.assert_allclose(loss_fused, loss_xla, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p1),
+                     jax.tree_util.tree_leaves(p2)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        denom = max(float(np.linalg.norm(a)), float(np.linalg.norm(b_)), 1e-6)
+        assert float(np.linalg.norm(a - b_)) / denom < 0.02

@@ -214,6 +214,7 @@ def sample_dialog(
     stream: int = 1,
     spk_a_id: int = SPK_A_ID_DEFAULT,
     spk_b_id: int = SPK_B_ID_DEFAULT,
+    timesteps=None,
 ) -> jax.Array:
     """Dialog sampling == base sampling with the speaker-aware text embed
     (ref: ZipVoiceDialog inherits ZipVoice.sample).  For the stereo model,
@@ -232,6 +233,7 @@ def sample_dialog(
     return zv.euler_sample(
         params, cfg, noise, text_condition, speech_condition, padding_mask,
         num_step=num_step, guidance_scale=guidance_scale, t_shift=t_shift,
+        timesteps=timesteps,
     )
 
 

@@ -151,7 +151,7 @@ class ZipVoicePipeline:
                     params, cfg, tokens_padded, tokens_lens, prompt_features,
                     prompt_features_lens, features_lens, noise,
                     num_step=num_step, guidance_scale=guidance_scale,
-                    t_shift=t_shift,
+                    t_shift=t_shift, timesteps=timesteps,
                 )
             # strip prompt: roll generated region to the front, zero the rest
             # (mask-based equivalent of ref zipvoice.py:469-484)

@@ -74,17 +74,25 @@ _REMAT_POLICY: Optional[str] = None
 
 def set_remat_policy(name: Optional[str]):
     """Rematerialization policy for the scanned layer blocks: None (save
-    nothing, recompute everything — minimum memory) or 'dots' (save matmul
-    outputs, recompute elementwise).  Measured on v5e at 123M/B=8/T=1024:
-    'dots' is ~20% SLOWER (303 vs ~250 ms/step) — it pins every attention
-    (B, H, T, T) product in HBM and the extra traffic outweighs the saved
-    recompute — so None stays the default; the knob exists for smaller
-    models/batches where the trade flips."""
+    nothing, recompute everything — minimum memory), 'all' (no remat: save
+    every residual) or 'dots' (save matmul outputs, recompute elementwise).
+
+    Measured on v5e at 123M/B=8/T=1024 with the flash attention backward
+    (r3): None 157.9 ms, 'all' 159.8, 'dots' 164.5 — with the backward's
+    recompute already cheap, saving residuals only adds HBM traffic, so
+    None stays the default at strictly less memory.  (r2, probs-path
+    numbers for history: 'dots' was ~20% slower than None.)"""
     global _REMAT_POLICY
     _REMAT_POLICY = name
 
 
 def _layer_checkpoint(fn):
+    if _REMAT_POLICY == "all":
+        # save every residual (no remat): trades HBM for skipping the
+        # backward's full layer-forward recompute — only viable when the
+        # per-layer activations of the whole stack fit alongside params +
+        # optimizer state (measure before enabling)
+        return fn
     if _REMAT_POLICY == "dots":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_saveable
