@@ -30,9 +30,9 @@ GUIDANCE = 1.0
 DEADLINE_SECONDS = float(__import__("os").environ.get("BENCH_DEADLINE", 1200))
 
 
-def _train_throughput(cfg) -> float:
-    """One DP training step (regularizers live) on B=8 x 1024-frame batch ->
-    seconds of audio per wall second per chip.  Uses scan-of-remat layers:
+def _train_throughput(cfg):
+    """One DP training step (regularizers live) on B=8 x 1024-frame batch.
+    Returns (sec_audio_per_sec_per_chip, step_seconds, (batch, frames)).  Uses scan-of-remat layers:
     bounded backward memory and minutes-not-tens-of-minutes compiles, at
     ~25% step-time cost vs fully unrolled."""
     import time

@@ -314,7 +314,7 @@ def test_pipeline_warmup(model_dir):
     )
     pipe.warmup(num_step=2, seconds=(0.5,), token_counts=(4,))
     # the warmed program is reused: same bucket -> per-instance memo hit
-    assert any(k[0] == "_sample_fn" for k in pipe._jit_memo)
+    assert len(getattr(pipe, "_memo__sample_fn", {})) >= 1
 
 
 def test_synthesize_fused_matches_split(model_dir):
@@ -466,7 +466,7 @@ def test_pipeline_is_garbage_collectable(model_dir):
     )
     # populate every memoized program kind the serving path uses
     pipe.warmup(num_step=2, seconds=(0.5,), token_counts=(4,))
-    assert pipe._jit_memo
+    assert getattr(pipe, "_memo__sample_fn", {})
     ref = weakref.ref(pipe)
     del pipe
     gc.collect()
@@ -514,3 +514,14 @@ def test_explicit_timesteps_schedule(model_dir):
         validate_time_steps([0.5, 0.2, 1.0])
     with _pytest.raises(ValueError):
         validate_time_steps([0.3])
+    # grids must COVER [0, 1]: a late start treats noise as integrated
+    # state, an early stop returns an unfinished sample
+    with _pytest.raises(ValueError):
+        validate_time_steps([0.5, 0.8, 1.0])
+    with _pytest.raises(ValueError):
+        validate_time_steps([0.0, 0.4, 0.9])
+
+    # memo-key normalization: 3-arg and 4-arg-with-default calls of
+    # _sample_fn must share ONE compiled program (a raw-args key would
+    # compile twice, defeating warmup)
+    assert pipe._sample_fn(3, 1.0, 0.5) is pipe._sample_fn(3, 1.0, 0.5, None)

@@ -164,6 +164,11 @@ def main():
         tuple(float(x) for x in args.timesteps.split(","))
         if args.timesteps else None
     )
+    if timesteps is not None and args.long_form:
+        raise SystemExit(
+            "--timesteps is not supported with --long-form (chunked "
+            "synthesis re-derives its schedule per chunk); drop one flag"
+        )
 
     def synth_one(prompt_text, prompt_wav_path, text, out_path):
         wav, wav_sr = read_wav(prompt_wav_path)

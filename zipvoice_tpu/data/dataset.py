@@ -20,6 +20,8 @@ import functools
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence
 
+from zipvoice_tpu.utils.memo import instance_cache
+
 import numpy as np
 
 
@@ -203,7 +205,7 @@ class OnDeviceFbankCollator:
         # (ref train_zipvoice_dialog_stereo.py:355-358)
         self.three_channel = three_channel
 
-    @functools.lru_cache(maxsize=64)
+    @instance_cache(maxsize=64)
     def _fbank_fn(self, num_samples: int):
         import jax
         import jax.numpy as jnp

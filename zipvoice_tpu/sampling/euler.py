@@ -40,17 +40,25 @@ def get_time_steps(
     return ts.astype(np.float32)
 
 
-def validate_time_steps(timesteps) -> np.ndarray:
+def validate_time_steps(timesteps, t_start: float = 0.0,
+                        t_end: float = 1.0) -> np.ndarray:
     """Normalize an explicit timestep grid (EPSS-style pruned schedules,
     arXiv 2505.19931: non-uniform, empirically tuned step placements can
     match many-step quality with far fewer evaluations).  Must be a
-    strictly-increasing 1-D grid inside [0, 1] with >= 2 knots; the solver
-    takes one Euler step per consecutive pair."""
+    strictly-increasing 1-D grid with >= 2 knots COVERING [t_start, t_end]
+    exactly — a grid starting past t_start would treat pure noise as a
+    partially-integrated state, one stopping short of t_end would return an
+    unfinished sample, both silently degraded audio."""
     ts = np.asarray(timesteps, np.float32).reshape(-1)
     if ts.size < 2:
         raise ValueError(f"timesteps needs >= 2 knots, got {ts.size}")
-    if not (np.all(np.diff(ts) > 0) and ts[0] >= 0.0 and ts[-1] <= 1.0):
-        raise ValueError(f"timesteps must strictly increase within [0, 1]: {ts}")
+    if not np.all(np.diff(ts) > 0):
+        raise ValueError(f"timesteps must strictly increase: {ts}")
+    if not (abs(ts[0] - t_start) < 1e-6 and abs(ts[-1] - t_end) < 1e-6):
+        raise ValueError(
+            f"timesteps must span [{t_start}, {t_end}] exactly, got "
+            f"[{ts[0]}, {ts[-1]}]"
+        )
     return ts
 
 
@@ -132,7 +140,7 @@ def euler_sample(
     from zipvoice_tpu.models.zipvoice import forward_fm_decoder
 
     if timesteps is not None:
-        ts = validate_time_steps(timesteps)
+        ts = validate_time_steps(timesteps, t_start, t_end)
     else:
         ts = get_time_steps(t_start, t_end, num_step, t_shift)
     t_steps = jnp.asarray(ts[:-1], jnp.float32)
