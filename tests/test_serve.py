@@ -195,3 +195,87 @@ def test_variant_serving_defaults_match_reference():
         assert reg["guidance_scale"] == gs, name
         assert reg["t_shift"] == t_shift, name
         assert reg["distill"] == distill, name
+
+
+def test_streaming_endpoint(server):
+    """POST /synthesize_stream returns chunked-transfer streaming WAV whose
+    PCM body decodes to finite audio; the header is the unknown-length
+    streaming variant (sizes 0xFFFFFFFF)."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    prompt = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    payload = {
+        "text": "hello world. good morning. see you later.",
+        "prompt_text": "hi there",
+        "prompt_wav_b64": base64.b64encode(wav_bytes(prompt, 24000)).decode(),
+        "num_step": 2, "seed": 5,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/synthesize_stream",
+        data=json.dumps(payload).encode(), method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
+        assert resp.headers.get("Content-Type") == "audio/wav"
+        body = resp.read()  # urllib de-chunks transfer encoding
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF
+    pcm = np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32768.0
+    assert pcm.size > 0 and np.isfinite(pcm).all()
+
+
+def test_synthesize_stream_matches_long(model_pipe_for_stream=None):
+    """Pipeline-level: the concatenated streamed segments track
+    synthesize_long's output (same mel stream; vocoder chunk boundaries
+    differ only within the receptive-field context)."""
+    import jax
+
+    import torch  # noqa: F401 — fixture parity with the other tests
+
+    from zipvoice_tpu.audio.vocos import init_vocos
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.models.pipeline import ZipVoicePipeline
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.text.tokenizer import SimpleTokenizer, write_token_file
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=len(TOKENS_TXT), pad_id=0)
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tokens = {t: i for i, t in enumerate(TOKENS_TXT)}
+        tok_file = f"{td}/tokens.txt"
+        write_token_file(tokens, tok_file)
+        tokenizer = SimpleTokenizer(tok_file)
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    from zipvoice_tpu.config import FeatureConfig
+
+    pipe = ZipVoicePipeline(
+        params=params, model_cfg=cfg, feat_cfg=FeatureConfig(n_mels=20),
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(0)
+    prompt = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    kwargs = dict(
+        text="hello there. how are you. fine thanks. good bye now.",
+        prompt_text="hi", prompt_wav=prompt, prompt_sr=24000,
+        num_step=2, max_chunk_seconds=1.0, seed=4,
+    )
+    segs = list(pipe.synthesize_stream(**kwargs))
+    assert len(segs) >= 2, "expected multiple streamed chunks"
+    streamed = np.concatenate(segs)
+    res = pipe.synthesize_long(**kwargs)
+    # same mel stream -> nearly identical audio length; values match except
+    # at the per-chunk vocoder boundaries
+    assert abs(len(streamed) - len(res.wav)) <= len(segs) * vcfg.hop_length * 2
+    n = min(len(streamed), len(res.wav))
+    # the FIRST chunk has identical LEFT context in both modes; only its
+    # right edge (the vocoder receptive field, where batch mode sees the
+    # next chunk's mel) may differ — compare up to that margin
+    margin = 16 * vcfg.hop_length
+    first = min(len(segs[0]), n) - margin
+    assert first > 0
+    np.testing.assert_allclose(streamed[:first], res.wav[:first], atol=1e-3)
+    assert np.isfinite(streamed).all()

@@ -97,6 +97,27 @@ def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int):
     Path(path).write_bytes(wav_bytes(samples, sample_rate))
 
 
+def wav_stream_header(sample_rate: int, channels: int = 1) -> bytes:
+    """RIFF/WAVE header for a stream of unknown length: the RIFF and data
+    sizes are 0xFFFFFFFF (the streaming-WAV convention; players read until
+    EOF).  Follow with raw PCM16 frames (pcm16_bytes)."""
+    byte_rate = sample_rate * channels * 2
+    hdr = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", 0xFFFFFFFF)
+    return hdr
+
+
+def pcm16_bytes(samples: np.ndarray) -> bytes:
+    """(L,) or (C, L) float32 -> interleaved little-endian PCM16 bytes."""
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    return np.clip(np.round(x.T * 32768.0), -32768, 32767).astype("<i2").tobytes()
+
+
 def probe_wav(path: Union[str, Path]) -> Tuple[int, int, int]:
     """Read only the RIFF headers -> (sample_rate, num_frames, channels).
 

@@ -626,64 +626,19 @@ class ZipVoicePipeline:
         the previously *generated mel* (no vocode/fbank round trip), keeping
         speaker identity and prosody continuous across chunks.
         """
-        import re as _re
-
         assert self.tokenizer is not None
         t0 = time.monotonic()
-        sentences = [
-            s.strip() for s in _re.split(r"(?<=[.!?。！？;])\s+", text) if s.strip()
-        ] or [text]
-        # greedily pack sentences into chunks below the length cap
-        frame_rate = self.feat_cfg.frame_rate
-        chunks: list = []
-        cur = ""
-        def _est_seconds(t: str) -> float:
-            # rough duration proxy, refined by the ratio duration predictor
-            # at sampling time.  Language-aware: a CJK character is a full
-            # syllable (~0.30 s spoken) while a Latin char is a fraction of
-            # one (~0.06 s) — a flat per-char rate under-counted ZH by 4-6x
-            # and let chunks blow past the ~30 s training cap (VERDICT r2
-            # weak #8).
-            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-            return cjk * 0.30 + (len(t) - cjk) * 0.06
-
-        for s in sentences:
-            cand = (cur + " " + s).strip()
-            if cur and _est_seconds(cand) > max_chunk_seconds:
-                chunks.append(cur)
-                cur = s
-            else:
-                cur = cand
-        if cur:
-            chunks.append(cur)
-
+        chunks = self._long_form_plan(text, max_chunk_seconds)
         pf0, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
-        carry_frames = int(carry_seconds * frame_rate)
-
         prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
-        mels = []
-        cur_prompt_feats = pf0
-        cur_prompt_tokens = prompt_tokens
-        for ci, chunk in enumerate(chunks):
-            tokens = self.tokenizer.texts_to_token_ids([chunk])[0]
-            mel, gen_len = self.sample_features(
-                tokens, cur_prompt_tokens, cur_prompt_feats,
-                num_step=num_step, guidance_scale=guidance_scale,
-                speed=speed, t_shift=t_shift, seed=seed + ci,
-            )
-            mel_np = np.asarray(mel[:gen_len], np.float32)
-            mels.append(mel_np)
-            # next chunk's prompt = trailing generated mel (back to model
-            # feature scale) + a proportional token tail of this chunk
-            tail = mel_np[-carry_frames:]
-            cur_prompt_feats = jnp.asarray(
-                (tail + self.feat_cfg.feat_bias) * self.feat_cfg.feat_scale,
-                self.dtype,
-            )
-            frac = min(1.0, len(tail) / max(gen_len, 1))
-            n_tok = max(1, int(len(tokens) * frac))
-            cur_prompt_tokens = tokens[-n_tok:]
+        carry_frames = int(carry_seconds * self.feat_cfg.frame_rate)
 
+        mels = list(
+            self._long_form_mels(
+                chunks, prompt_tokens, pf0, num_step, guidance_scale, speed,
+                t_shift, seed, carry_frames,
+            )
+        )
         full_mel = np.concatenate(mels, axis=0)
         t1 = time.monotonic()
         t_pad = round_up(full_mel.shape[0], self.frame_bucket)
@@ -702,6 +657,116 @@ class ZipVoicePipeline:
                 "chunks": len(chunks),
             },
         )
+
+    # ------------------------------------------------------- long-form plumbing
+
+    def _long_form_plan(self, text: str, max_chunk_seconds: float):
+        """Sentence-split + greedy packing into chunks below the length cap
+        (language-aware duration proxy: a CJK char is a full syllable
+        ~0.30 s vs ~0.06 s per Latin char — a flat rate under-counted ZH
+        4-6x and let chunks blow past the ~30 s training cap)."""
+        import re as _re
+
+        sentences = [
+            s.strip() for s in _re.split(r"(?<=[.!?。！？;])\s+", text) if s.strip()
+        ] or [text]
+
+        def _est_seconds(t: str) -> float:
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            return cjk * 0.30 + (len(t) - cjk) * 0.06
+
+        chunks: list = []
+        cur = ""
+        for s in sentences:
+            cand = (cur + " " + s).strip()
+            if cur and _est_seconds(cand) > max_chunk_seconds:
+                chunks.append(cur)
+                cur = s
+            else:
+                cur = cand
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    def _long_form_mels(self, chunks, prompt_tokens, pf0, num_step,
+                        guidance_scale, speed, t_shift, seed,
+                        carry_frames: int):
+        """Generator: per-chunk generated mel (model scale removed), each
+        chunk conditioned on the previous chunk's trailing generated mel (no
+        vocode/fbank round trip) + a proportional token tail, keeping
+        speaker identity and prosody continuous across chunks."""
+        cur_prompt_feats = pf0
+        cur_prompt_tokens = prompt_tokens
+        for ci, chunk in enumerate(chunks):
+            tokens = self.tokenizer.texts_to_token_ids([chunk])[0]
+            mel, gen_len = self.sample_features(
+                tokens, cur_prompt_tokens, cur_prompt_feats,
+                num_step=num_step, guidance_scale=guidance_scale,
+                speed=speed, t_shift=t_shift, seed=seed + ci,
+            )
+            mel_np = np.asarray(mel[:gen_len], np.float32)
+            tail = mel_np[-carry_frames:]
+            cur_prompt_feats = jnp.asarray(
+                (tail + self.feat_cfg.feat_bias) * self.feat_cfg.feat_scale,
+                self.dtype,
+            )
+            frac = min(1.0, len(tail) / max(gen_len, 1))
+            n_tok = max(1, int(len(tokens) * frac))
+            cur_prompt_tokens = tokens[-n_tok:]
+            yield mel_np
+
+    def synthesize_stream(
+        self,
+        text: str,
+        prompt_text: str,
+        prompt_wav: np.ndarray,
+        prompt_sr: int,
+        num_step: int = 16,
+        guidance_scale: float = 1.0,
+        speed: float = 1.0,
+        t_shift: float = 0.5,
+        target_rms: float = 0.1,
+        seed: int = 666,
+        max_chunk_seconds: float = 20.0,
+        carry_seconds: float = 4.0,
+        context_frames: int = 32,
+    ):
+        """Streaming long-form synthesis: a generator yielding float32 wav
+        segments as each text chunk finishes — first audio after ONE chunk
+        instead of the whole text (beyond the reference, which is strictly
+        batch).  Same chunking/prompt-carry as synthesize_long; each chunk
+        is vocoded with `context_frames` of the previous chunk's mel as
+        left context (covering the vocoder's ConvNeXt receptive field) and
+        the corresponding samples trimmed, so chunk joins are seam-free.
+        The concatenation of the yielded segments matches synthesize_long's
+        mel stream exactly; only the vocoder's chunk boundaries differ.
+        """
+        assert self.tokenizer is not None
+        chunks = self._long_form_plan(text, max_chunk_seconds)
+        pf0, prompt_rms = self.prompt_features(prompt_wav, prompt_sr, target_rms)
+        prompt_tokens = self.tokenizer.texts_to_token_ids([prompt_text])[0]
+        carry_frames = int(carry_seconds * self.feat_cfg.frame_rate)
+        gain = prompt_rms / target_rms if prompt_rms < target_rms else 1.0
+        hop = self.vocos_cfg.hop_length
+
+        prev_tail = None  # (C, F) left context from the previous chunk
+        for mel_np in self._long_form_mels(
+            chunks, prompt_tokens, pf0, num_step, guidance_scale, speed,
+            t_shift, seed, carry_frames,
+        ):
+            if prev_tail is None:
+                ctx = 0
+                mel_in = mel_np
+            else:
+                ctx = prev_tail.shape[0]
+                mel_in = np.concatenate([prev_tail, mel_np], axis=0)
+            t_pad = round_up(mel_in.shape[0], self.frame_bucket)
+            mel_padded = np.zeros((t_pad, mel_in.shape[1]), np.float32)
+            mel_padded[: mel_in.shape[0]] = mel_in
+            wav = self.vocode(mel_padded, mel_in.shape[0])
+            # drop the context samples (belong to the previous segment)
+            yield wav[ctx * hop:] * gain
+            prev_tail = mel_np[-context_frames:] if context_frames else None
 
     def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""

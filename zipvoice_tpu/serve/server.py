@@ -282,6 +282,9 @@ class TTSServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/synthesize_stream":
+                    self._stream()
+                    return
                 if self.path != "/synthesize":
                     self._json(404, {"error": "not found"})
                     return
@@ -313,6 +316,56 @@ class TTSServer:
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+
+            def _stream(self):
+                """Chunked-transfer streaming WAV: audio starts flowing
+                after the FIRST long-form chunk instead of the whole text.
+                Device programs dispatch from this handler thread and
+                interleave with batched traffic on-device (JAX dispatch is
+                thread-safe; the chip serializes)."""
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n))
+                    payload["long_form"] = True  # streaming IS chunked
+                    req = server._parse_request(payload)
+                except Exception as ex:  # noqa: BLE001
+                    self._json(400, {"error": f"bad request: {ex!r}"})
+                    return
+                from zipvoice_tpu.audio.wav import (
+                    pcm16_bytes,
+                    wav_stream_header,
+                )
+
+                sr = server.pipeline.feat_cfg.sampling_rate
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(data: bytes):
+                    self.wfile.write(b"%x\r\n" % len(data))
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                try:
+                    emit(wav_stream_header(sr))
+                    for seg in server.pipeline.synthesize_stream(
+                        text=req.text, prompt_text=req.prompt_text,
+                        prompt_wav=req.prompt_wav, prompt_sr=req.prompt_sr,
+                        num_step=req.num_step,
+                        guidance_scale=req.guidance_scale,
+                        speed=req.speed, t_shift=req.t_shift, seed=req.seed,
+                    ):
+                        emit(pcm16_bytes(seg))
+                    self.wfile.write(b"0\r\n\r\n")
+                except BrokenPipeError:
+                    logging.info("stream client disconnected")
+                except Exception:  # noqa: BLE001 — mid-stream: close chunked
+                    logging.exception("stream failed mid-flight")
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception:  # noqa: BLE001
+                        pass
 
         return Handler
 
