@@ -225,7 +225,7 @@ def test_streaming_endpoint(server):
     assert pcm.size > 0 and np.isfinite(pcm).all()
 
 
-def test_synthesize_stream_matches_long(model_pipe_for_stream=None):
+def test_synthesize_stream_matches_long():
     """Pipeline-level: the concatenated streamed segments track
     synthesize_long's output (same mel stream; vocoder chunk boundaries
     differ only within the receptive-field context)."""
@@ -267,15 +267,21 @@ def test_synthesize_stream_matches_long(model_pipe_for_stream=None):
     assert len(segs) >= 2, "expected multiple streamed chunks"
     streamed = np.concatenate(segs)
     res = pipe.synthesize_long(**kwargs)
-    # same mel stream -> nearly identical audio length; values match except
-    # at the per-chunk vocoder boundaries
-    assert abs(len(streamed) - len(res.wav)) <= len(segs) * vcfg.hop_length * 2
-    n = min(len(streamed), len(res.wav))
-    # the FIRST chunk has identical LEFT context in both modes; only its
-    # right edge (the vocoder receptive field, where batch mode sees the
-    # next chunk's mel) may differ — compare up to that margin
+    # EXACT total length: the streamed segments tile the same mel stream
+    # with no per-seam sample loss or duplication
+    assert len(streamed) == len(res.wav), (len(streamed), len(res.wav))
+    # values match batch mode except within the vocoder receptive field of
+    # each join (batch vocodes the full mel in one pass); verify the bulk
+    # INCLUDING audio well past the first join
     margin = 16 * vcfg.hop_length
-    first = min(len(segs[0]), n) - margin
-    assert first > 0
-    np.testing.assert_allclose(streamed[:first], res.wav[:first], atol=1e-3)
+    close = np.isclose(streamed, res.wav, atol=1e-3)
+    n_joins = len(segs) - 1
+    assert (~close).sum() <= (2 * margin + 1) * (n_joins + 1), (
+        f"{(~close).sum()} samples differ — more than receptive-field "
+        f"neighborhoods of {n_joins} joins"
+    )
+    # audio AFTER the last join matches exactly (same left context depth)
+    tail_start = len(streamed) - len(segs[-1]) + margin
+    np.testing.assert_allclose(streamed[tail_start:], res.wav[tail_start:],
+                               atol=1e-3)
     assert np.isfinite(streamed).all()

@@ -75,19 +75,21 @@ def read_wav_bytes(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]
     return np.ascontiguousarray(x), sample_rate
 
 
+def _fmt_chunk(sample_rate: int, channels: int) -> bytes:
+    byte_rate = sample_rate * channels * 2
+    return b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+
+
 def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode (C, L) or (L,) float32 samples as a PCM16 RIFF blob."""
     x = np.asarray(samples, np.float32)
     if x.ndim == 1:
         x = x[None, :]
-    pcm = np.clip(np.round(x.T * 32768.0), -32768, 32767).astype("<i2")
-    body = pcm.tobytes()
-    channels = x.shape[0]
-    byte_rate = sample_rate * channels * 2
+    body = pcm16_bytes(x)
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
-    hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
-    )
+    hdr += _fmt_chunk(sample_rate, x.shape[0])
     hdr += b"data" + struct.pack("<I", len(body))
     return hdr + body
 
@@ -101,11 +103,8 @@ def wav_stream_header(sample_rate: int, channels: int = 1) -> bytes:
     """RIFF/WAVE header for a stream of unknown length: the RIFF and data
     sizes are 0xFFFFFFFF (the streaming-WAV convention; players read until
     EOF).  Follow with raw PCM16 frames (pcm16_bytes)."""
-    byte_rate = sample_rate * channels * 2
     hdr = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-    hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
-    )
+    hdr += _fmt_chunk(sample_rate, channels)
     hdr += b"data" + struct.pack("<I", 0xFFFFFFFF)
     return hdr
 

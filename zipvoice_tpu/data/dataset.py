@@ -16,7 +16,6 @@ Manifest format (the reference's TSV contract, ref egs run_finetune.sh):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence
 

@@ -16,7 +16,6 @@ RMS normalization and feat scale/bias handling and per-phase RTF metrics.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Dict, Optional, Tuple
 
@@ -738,8 +737,10 @@ class ZipVoicePipeline:
         is vocoded with `context_frames` of the previous chunk's mel as
         left context (covering the vocoder's ConvNeXt receptive field) and
         the corresponding samples trimmed, so chunk joins are seam-free.
-        The concatenation of the yielded segments matches synthesize_long's
-        mel stream exactly; only the vocoder's chunk boundaries differ.
+        The concatenation of the yielded segments covers the same mel stream
+        as synthesize_long sample-for-sample (total length identical); audio
+        values differ from batch mode only within the vocoder receptive
+        field of each join.
         """
         assert self.tokenizer is not None
         chunks = self._long_form_plan(text, max_chunk_seconds)
@@ -748,6 +749,10 @@ class ZipVoicePipeline:
         carry_frames = int(carry_seconds * self.feat_cfg.frame_rate)
         gain = prompt_rms / target_rms if prompt_rms < target_rms else 1.0
         hop = self.vocos_cfg.hop_length
+        # >= 1 context frame is required for gapless joins: vocode() maps T
+        # frames to (T-1)*hop samples, so a chunk's LAST frame is emitted by
+        # the NEXT segment (whose trim starts one frame into the context)
+        context_frames = max(1, int(context_frames))
 
         prev_tail = None  # (C, F) left context from the previous chunk
         for mel_np in self._long_form_mels(
@@ -764,9 +769,12 @@ class ZipVoicePipeline:
             mel_padded = np.zeros((t_pad, mel_in.shape[1]), np.float32)
             mel_padded[: mel_in.shape[0]] = mel_in
             wav = self.vocode(mel_padded, mel_in.shape[0])
-            # drop the context samples (belong to the previous segment)
-            yield wav[ctx * hop:] * gain
-            prev_tail = mel_np[-context_frames:] if context_frames else None
+            # drop the context samples except the last context frame's hop:
+            # that hop carries the PREVIOUS chunk's final frame, which the
+            # previous segment's (T-1)*hop trim did not emit — each segment
+            # then starts exactly where the last one ended (no gap, no dup)
+            yield wav[max(ctx - 1, 0) * hop:] * gain
+            prev_tail = mel_np[-context_frames:]
 
     def vocode(self, mel, gen_len: int) -> np.ndarray:
         """Vocode a (T_bucket, F) mel whose frames >= gen_len are zero."""

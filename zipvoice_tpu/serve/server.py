@@ -218,13 +218,22 @@ class TTSServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 8, max_wait_ms: float = 30.0,
                  num_step: int = 16, guidance_scale: float = 1.0,
-                 allow_custom_sampling: bool = False):
+                 allow_custom_sampling: bool = False,
+                 max_streams: int = 2):
         self.batcher = DynamicBatcher(
             pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
             default_num_step=num_step, default_guidance=guidance_scale,
         )
         self.pipeline = pipeline
         self.strict_sampling = not allow_custom_sampling
+        # streaming requests dispatch device programs from their handler
+        # threads (outside the batcher): cap their concurrency so N clients
+        # can't flood the device queue, and count them for /stats
+        self._stream_sem = threading.BoundedSemaphore(max_streams)
+        self._stream_lock = threading.Lock()
+        self.stream_stats = {"streams": 0, "stream_audio_seconds": 0.0,
+                             "streams_active": 0, "streams_rejected": 0,
+                             "stream_errors": 0}
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_port  # resolved when port=0
@@ -277,6 +286,8 @@ class TTSServer:
                             lats[min(len(lats) - 1,
                                      int(len(lats) * 0.95))], 4
                         )
+                    with server._stream_lock:
+                        st.update(server.stream_stats)
                     self._json(200, st)
                 else:
                     self._json(404, {"error": "not found"})
@@ -322,7 +333,8 @@ class TTSServer:
                 after the FIRST long-form chunk instead of the whole text.
                 Device programs dispatch from this handler thread and
                 interleave with batched traffic on-device (JAX dispatch is
-                thread-safe; the chip serializes)."""
+                thread-safe; the chip serializes); concurrency is capped by
+                server._stream_sem and counted in /stats."""
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n))
@@ -331,22 +343,41 @@ class TTSServer:
                 except Exception as ex:  # noqa: BLE001
                     self._json(400, {"error": f"bad request: {ex!r}"})
                     return
+                if not server._stream_sem.acquire(blocking=False):
+                    with server._stream_lock:
+                        server.stream_stats["streams_rejected"] += 1
+                    self._json(503, {"error": "stream slots exhausted"})
+                    return
+                try:
+                    self._stream_body(req)
+                finally:
+                    server._stream_sem.release()
+
+            def _stream_body(self, req):
                 from zipvoice_tpu.audio.wav import (
                     pcm16_bytes,
                     wav_stream_header,
                 )
 
                 sr = server.pipeline.feat_cfg.sampling_rate
+                with server._stream_lock:
+                    server.stream_stats["streams"] += 1
+                    server.stream_stats["streams_active"] += 1
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
                 def emit(data: bytes):
+                    if not data:
+                        # '0\r\n\r\n' is the end-of-stream terminator —
+                        # an empty segment must not end the stream early
+                        return
                     self.wfile.write(b"%x\r\n" % len(data))
                     self.wfile.write(data)
                     self.wfile.write(b"\r\n")
 
+                samples = 0
                 try:
                     emit(wav_stream_header(sr))
                     for seg in server.pipeline.synthesize_stream(
@@ -356,16 +387,29 @@ class TTSServer:
                         guidance_scale=req.guidance_scale,
                         speed=req.speed, t_shift=req.t_shift, seed=req.seed,
                     ):
+                        samples += int(np.asarray(seg).shape[-1])
                         emit(pcm16_bytes(seg))
                     self.wfile.write(b"0\r\n\r\n")
                 except BrokenPipeError:
                     logging.info("stream client disconnected")
-                except Exception:  # noqa: BLE001 — mid-stream: close chunked
+                    self.close_connection = True
+                except Exception:  # noqa: BLE001
+                    # mid-stream failure: ABORT the connection (no clean
+                    # terminator) so clients see a truncated stream instead
+                    # of mistaking partial audio for a complete response,
+                    # and the (possibly corrupt) chunk framing never
+                    # poisons a keep-alive connection
                     logging.exception("stream failed mid-flight")
-                    try:
-                        self.wfile.write(b"0\r\n\r\n")
-                    except Exception:  # noqa: BLE001
-                        pass
+                    self.close_connection = True
+                    with server._stream_lock:
+                        server.stream_stats["stream_errors"] += 1
+                finally:
+                    with server._stream_lock:
+                        server.stream_stats["streams_active"] -= 1
+                        server.stream_stats["stream_audio_seconds"] = round(
+                            server.stream_stats["stream_audio_seconds"]
+                            + samples / sr, 3
+                        )
 
         return Handler
 

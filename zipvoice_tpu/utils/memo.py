@@ -18,30 +18,41 @@ from __future__ import annotations
 
 import functools
 import inspect
+import threading
 from collections import OrderedDict
 
 
 def instance_cache(fn=None, *, maxsize: int = 32):
-    """Decorator: memoize on ``self._memo_<name>`` (bounded LRU)."""
+    """Decorator: memoize on ``self._memo_<name>`` (bounded LRU).
+
+    Thread-safe: concurrent HTTP handler threads (the streaming endpoint)
+    and the batch dispatcher share these builders.  The build itself runs
+    under the lock — two first-callers with the same shapes must NOT both
+    compile the same multi-minute TPU program, and an unlocked LRU eviction
+    racing a hit would KeyError."""
 
     def deco(f):
         sig = inspect.signature(f)
         attr = f"_memo_{f.__name__}"
+        lock_attr = attr + "_lock"
 
         @functools.wraps(f)
         def wrapper(self, *args, **kwargs):
             bound = sig.bind(self, *args, **kwargs)
             bound.apply_defaults()
             key = (tuple(bound.arguments.items())[1:],)  # drop self
-            memo = self.__dict__.setdefault(attr, OrderedDict())
-            if key in memo:
-                memo.move_to_end(key)
-                return memo[key]
-            value = f(self, *args, **kwargs)
-            memo[key] = value
-            if len(memo) > maxsize:
-                memo.popitem(last=False)
-            return value
+            # setdefault on the instance dict is atomic under the GIL
+            lock = self.__dict__.setdefault(lock_attr, threading.Lock())
+            with lock:
+                memo = self.__dict__.setdefault(attr, OrderedDict())
+                if key in memo:
+                    memo.move_to_end(key)
+                    return memo[key]
+                value = f(self, *args, **kwargs)
+                memo[key] = value
+                if len(memo) > maxsize:
+                    memo.popitem(last=False)
+                return value
 
         wrapper._memo_attr = attr
         return wrapper
