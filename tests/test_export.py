@@ -261,3 +261,59 @@ def test_infer_exported_cli_end_to_end(tmp_path, monkeypatch, mode):
     infer_exported.main()
     wav, sr = read_wav(out_wav)
     assert sr == 24000 and wav.shape[-1] > 0 and np.isfinite(wav).all()
+
+
+def test_export_cli_with_timesteps(tmp_path, monkeypatch):
+    """--timesteps bakes a pruned Euler grid into the fused StableHLO
+    sampler; the exported program runs and matches an in-process sample
+    with the same explicit grid."""
+    import json
+    import sys
+
+    import torch
+
+    from jax import export as jexport
+
+    from zipvoice_tpu.bin import export_model
+    from zipvoice_tpu.io.checkpoint import params_to_state_dict
+    from zipvoice_tpu.text.tokenizer import write_token_file
+
+    cfg = ZipVoiceConfig(**TINY)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_state_dict(params).items()}
+    torch.save({"model": sd}, tmp_path / "model.pt")
+    raw = {k: list(v) if isinstance(v, tuple) else v for k, v in TINY.items()
+           if k not in ("vocab_size", "pad_id")}
+    (tmp_path / "model.json").write_text(json.dumps(
+        {"model": raw, "feature": {"sampling_rate": 24000, "type": "vocos",
+                                   "n_mels": 16}}))
+    token2id = {"_": 0}
+    for i in range(1, 40):
+        token2id[f"tk{i}"] = i
+    write_token_file(token2id, str(tmp_path / "tokens.txt"))
+
+    out = tmp_path / "exported"
+    monkeypatch.setattr(sys, "argv", [
+        "export_model", "--model-dir", str(tmp_path), "--out-dir", str(out),
+        "--num-step", "7", "--max-tokens", "16", "--max-frames", "64",
+        "--timesteps", "0,0.4,0.8,1",
+    ])
+    export_model.main()
+
+    exp = jexport.deserialize((out / "sampler_fused.stablehlo").read_bytes())
+    rng = np.random.default_rng(1)
+    t, f = 64, 16
+    tok = rng.integers(1, 40, (1, 16)).astype(np.int32)
+    args_run = (
+        tok, np.array([10], np.int32),
+        (rng.standard_normal((1, t, f)) * 0.1).astype(np.float32),
+        np.array([20], np.int32), np.array([60], np.int32),
+        rng.standard_normal((1, t, f)).astype(np.float32),
+    )
+    got = np.asarray(exp.call(*args_run))
+    want = np.asarray(zv.sample(
+        params, cfg, *[np.asarray(a) for a in args_run],
+        num_step=99, timesteps=(0.0, 0.4, 0.8, 1.0),
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -29,6 +29,11 @@ def get_parser():
     p.add_argument("--num-step", type=int, default=None)
     p.add_argument("--guidance-scale", type=float, default=None)
     p.add_argument("--t-shift", type=float, default=0.5)
+    p.add_argument("--timesteps", type=str, default=None,
+                   help="Explicit comma-separated Euler grid spanning [0,1] "
+                        "(EPSS-style pruned schedules), baked into the "
+                        "fused sampler program instead of "
+                        "--num-step/--t-shift")
     p.add_argument("--max-tokens", type=int, default=256,
                    help="static token-axis size of the exported programs")
     p.add_argument("--max-frames", type=int, default=3072,
@@ -60,6 +65,10 @@ def main():
     cfg = assets.model_cfg
     defaults = assets.defaults
     num_step = args.num_step or defaults["num_step"]
+    timesteps = (
+        tuple(float(x) for x in args.timesteps.split(","))
+        if args.timesteps else None
+    )
     gs = args.guidance_scale if args.guidance_scale is not None else defaults[
         "guidance_scale"]
     distill = defaults["distill"]
@@ -129,7 +138,7 @@ def main():
             params, cfg, tokens, tokens_lens, prompt_features,
             prompt_features_lens, features_lens, noise,
             num_step=num_step, guidance_scale=gs, t_shift=args.t_shift,
-            distill=distill,
+            distill=distill, timesteps=timesteps,
         )
 
     save("sampler_fused", sampler,
