@@ -273,3 +273,21 @@ def test_battery_without_fixture_is_gated_not_green(tmp_path):
     assert res["battery_checked"] == 0
     assert str(res["sub"]["battery"]).startswith("gated")
     assert res["status"] == "gated"
+
+
+def test_battery_crash_is_fail_not_gated(tmp_path, monkeypatch):
+    """Only a missing G2P backend may read as gated/pending; a genuine
+    tokenizer crash (any other exception) must FAIL the battery."""
+    import zipvoice_tpu.text.tokenizer as tok_mod
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+
+    def boom(text):
+        raise ValueError("tokenizer regression")
+
+    monkeypatch.setattr(tok_mod, "hanzi_to_pinyin", boom)
+    res = check_tokenizer("zipvoice", str(d))
+    assert res["battery_failed"], res
+    assert res["sub"]["battery"] == "fail"
+    assert res["status"] == "fail"

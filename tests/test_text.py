@@ -441,3 +441,94 @@ def test_libritts_bpe_via_vendored_reader(tmp_path):
     assert tok.vocab_size == 17 and tok.pad_id == 3
     ids = tok.texts_to_token_ids(["hello world"])[0]
     assert ids == [5, 6]  # normalize() uppercases -> ▁HELLO ▁WORLD
+
+
+def test_huge_numbers_never_crash_or_drop_segments():
+    """>=1e15 used to IndexError inside number_to_words, and the tokenizer
+    swallowed the exception — silently DROPPING the whole EN segment."""
+    from zipvoice_tpu.text.numbers import number_to_words
+
+    assert number_to_words(2 * 10**15) == "two quadrillion"
+    assert number_to_words(10**18) == "one quintillion"
+    # beyond the scale ladder: digit-by-digit, never an exception
+    w = number_to_words(10**40)
+    assert w.startswith("one zero zero") and "illion" not in w
+
+    from zipvoice_tpu.text.normalizer import EnglishTextNormalizer
+
+    out = EnglishTextNormalizer().normalize("I have 2000000000000000 dollars")
+    assert "quadrillion" in out
+
+
+def test_inflect_default_andword_paths():
+    """Ordinals and fraction denominators go through inflect's DEFAULT
+    andword in the reference (ref normalizer.py:76-83, 121-122)."""
+    from zipvoice_tpu.text.normalizer import EnglishTextNormalizer
+    from zipvoice_tpu.text.numbers import number_to_words_and
+
+    assert number_to_words_and(101) == "one hundred and one"
+    assert number_to_words_and(1001) == "one thousand and one"
+    assert number_to_words_and(2101) == "two thousand, one hundred and one"
+    n = EnglishTextNormalizer()
+    assert "one hundred and first" in n.normalize("the 101st airborne")
+    # plain numbers keep andword='' (ref normalizer.py:142)
+    assert "one hundred one " in n.normalize("page 101 follows")
+
+
+def test_chinese_normalizer_dates_percent_negative():
+    """cn2an.transform smart modes the reference relies on
+    (ref normalizer.py:161-170): year digits, 百分之, 负."""
+    from zipvoice_tpu.text.normalizer import ChineseTextNormalizer
+
+    zh = ChineseTextNormalizer()
+    assert zh.normalize("2018年5月1日") == "二零一八年五月一日"
+    assert zh.normalize("涨了3.5%") == "涨了百分之三点五"
+    assert zh.normalize("涨了12%") == "涨了百分之十二"
+    assert zh.normalize("-5度") == "负五度"
+    assert zh.normalize("零下-3.5") == "零下负三点五"
+
+
+def test_libritts_custom_english_cleaners():
+    """The reference uses espnet tacotron_cleaner custom_english_cleaners
+    verbatim (ref tokenizer.py:534): ascii fold, dot-required
+    abbreviations, symbol expansion/removal, uppercase."""
+    from zipvoice_tpu.text.tokenizer import LibriTTSTokenizer
+
+    tok = LibriTTSTokenizer(None, token_type="char")
+    out = tok.normalize('Smith & Co. (draft) - "v2"; see Mr. Jones')
+    assert out == "SMITH AND COMPANY DRAFT V TWO, SEE MISTER JONES", out
+    # bare 'mr' without a dot must NOT expand (dot-required pattern)
+    assert tok.normalize("mr jones") == "MR JONES"
+    # ascii fold
+    assert tok.normalize("café") == "CAFE"
+
+
+def test_wer_normalization_curly_apostrophes():
+    """ref hubert.py:98 maps curly apostrophes to straight BEFORE the
+    character filter, preserving contractions."""
+    from zipvoice_tpu.eval.metrics import normalize_transcript, wer
+
+    assert normalize_transcript("don’t stop") == ["don't", "stop"]
+    w, errs, n = wer("don’t stop", "don't stop")
+    assert errs == 0 and n == 2
+
+
+def test_cpsim_per_track_prompt_rates():
+    """Split prompts may have different sample rates; each track must be
+    embedded at ITS rate (a single rate mis-resampled speaker 2)."""
+    import numpy as np
+
+    from zipvoice_tpu.eval.cpsim import cp_sim_tracks
+
+    class Enc:
+        def __init__(self):
+            self.seen = []
+
+        def embed(self, wav, sr):
+            self.seen.append(sr)
+            return np.asarray([1.0, 0.0])
+
+    enc = Enc()
+    cp_sim_tracks(enc, [np.zeros(10), np.zeros(10)], 24000,
+                  [np.zeros(10), np.zeros(10)], [24000, 16000])
+    assert enc.seen[2:] == [24000, 16000]

@@ -121,9 +121,9 @@ def main():
                 pw1, psr1 = read_wav(items[3])
                 pw2, psr2 = read_wav(items[4])
                 prompt_tracks = [pw1.mean(axis=0), pw2.mean(axis=0)]
-                p_sr = psr1
-                if psr1 != psr2:
-                    logging.warning("%s: prompt sample rates differ", name)
+                p_sr = [psr1, psr2]  # per-track: the two prompt wavs may
+                # legitimately differ; a single rate would mis-resample
+                # (pitch/time-warp) the second speaker's embedding
             else:
                 p_wav, p_sr = read_wav(items[2])
                 prompt_tracks = speaker_tracks(p_wav, p_sr, diarizer)
@@ -143,13 +143,16 @@ def main():
 
 
 def cp_sim_tracks(encoder, gen_tracks, gen_sr, prompt_tracks, prompt_sr) -> float:
-    """Best-permutation mean cosine over per-speaker (gen, prompt) pairs."""
+    """Best-permutation mean cosine over per-speaker (gen, prompt) pairs.
+    prompt_sr: one rate for all tracks, or a per-track list."""
     from itertools import permutations
 
     from zipvoice_tpu.eval.metrics import cosine_similarity
 
+    if not isinstance(prompt_sr, (list, tuple)):
+        prompt_sr = [prompt_sr] * len(prompt_tracks)
     g = [encoder.embed(w, gen_sr) for w in gen_tracks]
-    p = [encoder.embed(w, prompt_sr) for w in prompt_tracks]
+    p = [encoder.embed(w, sr) for w, sr in zip(prompt_tracks, prompt_sr)]
     return max(
         float(np.mean([cosine_similarity(g[i], p[j])
                        for i, j in enumerate(perm)]))

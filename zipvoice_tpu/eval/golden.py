@@ -175,16 +175,30 @@ def check_tokenizer(
         goldens = json.loads(Path(fixture_path).read_text()).get(tok_name, {})
     produced = {}
     n_checked, n_pending, failed = 0, 0, []
+    tok_cache: Dict[str, object] = {}
     for item in battery:
         try:
-            tok = get_tokenizer(
-                tok_name, str(model_dir_p / "tokens.txt"), lang=item["lang"]
-            )
+            tok = tok_cache.get(item["lang"])
+            if tok is None:
+                tok = get_tokenizer(
+                    tok_name, str(model_dir_p / "tokens.txt"),
+                    lang=item["lang"],
+                )
+                tok_cache[item["lang"]] = tok
             toks = tok.texts_to_tokens([item["text"]])[0]
-            ids_out = tok.texts_to_token_ids([item["text"]])[0]
-        except Exception as e:  # noqa: BLE001 — missing G2P dep or binary
-            produced[item["text"]] = f"gated: {type(e).__name__}: {e}"
-            n_pending += 1
+            ids_out = tok.tokens_to_token_ids([toks])[0]
+        except Exception as e:  # noqa: BLE001
+            # ONLY a missing G2P backend counts as gated/pending; any other
+            # exception is a real tokenizer crash and must FAIL the battery
+            # (a regression raising ValueError previously read as 'gated')
+            from zipvoice_tpu.text.tokenizer import G2PUnavailableError
+
+            if isinstance(e, (G2PUnavailableError, ImportError)):
+                produced[item["text"]] = f"gated: {type(e).__name__}: {e}"
+                n_pending += 1
+            else:
+                produced[item["text"]] = f"error: {type(e).__name__}: {e}"
+                failed.append(item["text"])
             continue
         produced[item["text"]] = {"tokens": toks, "ids": ids_out}
         g = goldens.get(item["text"])

@@ -56,8 +56,10 @@ def edit_ops(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int]:
 
 def normalize_transcript(text: str) -> List[str]:
     """The LibriSpeech/hubert protocol's normalization exactly
-    (ref eval/wer/hubert.py:99-100): lowercase, every non-[a-zA-Z0-9']
-    char -> space, collapse whitespace."""
+    (ref eval/wer/hubert.py:98-100): curly apostrophes -> straight FIRST
+    (so contractions survive the character filter), lowercase, every
+    non-[a-zA-Z0-9'] char -> space, collapse whitespace."""
+    text = text.replace("\u2018", "'").replace("\u2019", "'")
     text = re.sub(r"[^a-zA-Z0-9']", " ", text.lower())
     return re.sub(r"\s+", " ", text).strip().split()
 

@@ -72,7 +72,15 @@ def load_asr(model_key: str, model_dir: str = None):
     if model_key == "whisperd":
         # WhisperD emits its own [S1]/[S2]-tagged format: the forced
         # english/transcribe prompt must be CLEARED and long dialogs decode
-        # through the chunked pipeline (ref eval/wer/dialog.py:118-136)
+        # through the chunked pipeline (ref eval/wer/dialog.py:118-136).
+        # A vanilla Whisper substitute would never emit speaker tags and
+        # the cpWER would be silently meaningless, so the directory is
+        # mandatory like the reference (ref dialog.py:108-117 exits)
+        if not local:
+            raise ValueError(
+                "--model whisperd requires --model-dir pointing at the "
+                "WhisperD checkpoint (wer/whisper-d-v1a layout)"
+            )
         from transformers import (
             WhisperForConditionalGeneration,
             WhisperProcessor,
@@ -80,7 +88,7 @@ def load_asr(model_key: str, model_dir: str = None):
             pipeline,
         )
 
-        src = local or ASR_HUB_IDS["whisper"]
+        src = local
         processor = WhisperProcessor.from_pretrained(src)
         tokenizer = WhisperTokenizer.from_pretrained(src)
         model = WhisperForConditionalGeneration.from_pretrained(src)
@@ -105,7 +113,7 @@ def load_asr(model_key: str, model_dir: str = None):
             WhisperProcessor,
         )
 
-        src = local or ASR_HUB_IDS["whisper"]
+        src = local
         processor = WhisperProcessor.from_pretrained(src)
         model = WhisperForConditionalGeneration.from_pretrained(src)
         model.eval()

@@ -10,9 +10,11 @@ import re
 
 from zipvoice_tpu.text.numbers import (
     decimal_to_chinese,
+    digits_to_chinese,
     int_to_chinese,
     number_to_ordinal_words,
     number_to_words,
+    number_to_words_and,
     number_to_words_year,
 )
 
@@ -66,17 +68,20 @@ class EnglishTextNormalizer:
         return text
 
     def _fraction_to_words(self, numerator: int, denominator: int) -> str:
+        # the reference's fraction path calls inflect WITHOUT andword=''
+        # (ref normalizer.py:76-83), so numerators/denominators >= 101 keep
+        # inflect's default 'and' ('one hundred and one halves')
         if numerator == 1 and denominator == 2:
             return " one half "
         if numerator == 1 and denominator == 4:
             return " one quarter "
         if denominator == 2:
-            return " " + number_to_words(numerator) + " halves "
+            return " " + number_to_words_and(numerator) + " halves "
         if denominator == 4:
-            return " " + number_to_words(numerator) + " quarters "
+            return " " + number_to_words_and(numerator) + " quarters "
         return (
             " "
-            + number_to_words(numerator)
+            + number_to_words_and(numerator)
             + " "
             + number_to_ordinal_words(denominator)
             + " "
@@ -136,12 +141,41 @@ class EnglishTextNormalizer:
 
 
 class ChineseTextNormalizer:
-    """ZH digit -> hanzi conversion (ref normalizer.py:161-170, cn2an an2cn)."""
+    """ZH digit -> hanzi conversion (ref normalizer.py:161-170 calls
+    cn2an.transform(text, 'an2cn'), whose smart mode also covers dates,
+    percentages and negatives — reproduced here)."""
 
+    _year_re = re.compile(r"([0-9]{2,4})(年)")
+    _percent_re = re.compile(r"([0-9]+(?:\.[0-9]+)?)%")
+    _negative_re = re.compile(r"-([0-9]+(?:\.[0-9]+)?)")
     _decimal_re = re.compile(r"([0-9]+)\.([0-9]+)")
     _int_re = re.compile(r"[0-9]+")
 
+    def _num_words(self, s: str) -> str:
+        if "." in s:
+            a, b = s.split(".", 1)
+            return decimal_to_chinese(a, b)
+        return int_to_chinese(int(s))
+
     def normalize(self, text: str) -> str:
+        # cn2an date mode: the year reads digit-by-digit (2018年 -> 二零一八年)
+        text = re.sub(
+            self._year_re,
+            lambda m: digits_to_chinese(m.group(1)) + m.group(2),
+            text,
+        )
+        # percentages: 3.5% -> 百分之三点五
+        text = re.sub(
+            self._percent_re,
+            lambda m: "百分之" + self._num_words(m.group(1)),
+            text,
+        )
+        # negatives: -5 -> 负五
+        text = re.sub(
+            self._negative_re,
+            lambda m: "负" + self._num_words(m.group(1)),
+            text,
+        )
         text = re.sub(
             self._decimal_re,
             lambda m: decimal_to_chinese(m.group(1), m.group(2)),

@@ -22,6 +22,16 @@ _TENS = [
     "eighty", "ninety",
 ]
 _SCALES = [
+    # inflect's scale ladder; beyond the last entry numbers verbalize
+    # digit-by-digit instead of crashing (a 16+-digit id in text previously
+    # raised IndexError and the tokenizer silently DROPPED the EN segment)
+    (10**33, "decillion"),
+    (10**30, "nonillion"),
+    (10**27, "octillion"),
+    (10**24, "septillion"),
+    (10**21, "sextillion"),
+    (10**18, "quintillion"),
+    (10**15, "quadrillion"),
     (10**12, "trillion"),
     (10**9, "billion"),
     (10**6, "million"),
@@ -54,13 +64,17 @@ def _three_digits(n: int) -> str:
 
 
 def number_to_words(n: int) -> str:
-    """Integer -> English words, inflect style with group commas:
+    """Integer -> English words, inflect style with group commas and
+    andword='' (the reference's plain-number call, ref normalizer.py:142):
     1234567 -> 'one million, two hundred thirty-four thousand,
     five hundred sixty-seven'."""
     if n < 0:
         return "minus " + number_to_words(-n)
     if n == 0:
         return "zero"
+    if n >= 1000 * _SCALES[0][0]:
+        # beyond the scale ladder: read digit-by-digit, never crash
+        return " ".join(_UNITS[int(d)] for d in str(n))
     parts = []
     for scale, name in _SCALES:
         if n >= scale:
@@ -68,6 +82,40 @@ def number_to_words(n: int) -> str:
             parts.append(_three_digits(count) + " " + name)
     if n:
         parts.append(_three_digits(n))
+    return ", ".join(parts)
+
+
+def _three_digits_and(n: int) -> str:
+    hundreds, rest = divmod(n, 100)
+    if hundreds and rest:
+        return _UNITS[hundreds] + " hundred and " + _two_digits(rest)
+    if hundreds:
+        return _UNITS[hundreds] + " hundred"
+    return _two_digits(rest)
+
+
+def number_to_words_and(n: int) -> str:
+    """inflect's DEFAULT andword='and' rendering — the convention the
+    reference hits on ordinals and fraction denominators (it passes the
+    matched string to number_to_words without andword='', ref
+    normalizer.py:76-83, 121-122): 101 -> 'one hundred and one',
+    1001 -> 'one thousand and one', 2101 -> 'two thousand, one hundred
+    and one'."""
+    if n < 0:
+        return "minus " + number_to_words_and(-n)
+    if n == 0:
+        return "zero"
+    if n >= 1000 * _SCALES[0][0]:
+        return " ".join(_UNITS[int(d)] for d in str(n))
+    parts = []
+    for scale, name in _SCALES:
+        if n >= scale:
+            count, n = divmod(n, scale)
+            parts.append(_three_digits_and(count) + " " + name)
+    if n:
+        if parts and n < 100:
+            return ", ".join(parts) + " and " + _two_digits(n)
+        parts.append(_three_digits_and(n))
     return ", ".join(parts)
 
 
@@ -99,7 +147,9 @@ def ordinalize_words(words: str) -> str:
 
 
 def number_to_ordinal_words(n: int) -> str:
-    return ordinalize_words(number_to_words(n))
+    """Ordinal words with inflect's default andword (ref _expand_ordinal
+    passes '101st' to number_to_words -> 'one hundred and first')."""
+    return ordinalize_words(number_to_words_and(n))
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +211,11 @@ def int_to_chinese(n: int) -> str:
     if s.startswith("一十"):
         s = s[1:]
     return s
+
+
+def digits_to_chinese(s: str) -> str:
+    """Digit-by-digit reading with 零 (cn2an date style: '2018' -> 二零一八)."""
+    return "".join(_CN_DIGITS[int(d)] for d in s)
 
 
 def decimal_to_chinese(int_part: str, frac_part: str) -> str:

@@ -432,11 +432,46 @@ class LibriTTSTokenizer(Tokenizer):
         else:
             super().__init__(token_file)
 
+    # espnet tacotron_cleaner abbreviations: the pattern REQUIRES a trailing
+    # dot ('mr.' expands, bare 'mr' does not) — unlike the Emilia
+    # normalizer's \b-delimited list
+    _CLEANER_ABBREV = [
+        (re.compile(r"\b%s\." % p, re.IGNORECASE), r)
+        for p, r in [
+            ("mrs", "misess"), ("mr", "mister"), ("dr", "doctor"),
+            ("st", "saint"), ("co", "company"), ("jr", "junior"),
+            ("maj", "major"), ("gen", "general"), ("drs", "doctors"),
+            ("rev", "reverend"), ("lt", "lieutenant"), ("hon", "honorable"),
+            ("sgt", "sergeant"), ("capt", "captain"), ("esq", "esquire"),
+            ("ltd", "limited"), ("col", "colonel"), ("ft", "fort"),
+        ]
+    ]
+
     def normalize(self, text: str) -> str:
-        """Tacotron custom_english_cleaners flavor: uppercase + expansion."""
-        text = self.en_normalizer.normalize(text)
-        text = re.sub(r"\s+", " ", text).strip()
-        return text.upper()
+        """espnet tacotron_cleaner.cleaners.custom_english_cleaners, which
+        the reference uses verbatim (ref tokenizer.py:534): ascii fold,
+        lowercase, number expansion, dot-suffixed abbreviations, symbol
+        expansion (';'/':' -> ',', '-' -> ' ', '&' -> 'and'), removal of
+        ()[]<>\" symbols, uppercase, whitespace collapse."""
+        import unicodedata
+
+        text = (
+            unicodedata.normalize("NFKD", text)
+            .encode("ascii", "ignore")
+            .decode()
+        )
+        text = text.lower()
+        text = self.en_normalizer.normalize_numbers(text)
+        for regex, rep in self._CLEANER_ABBREV:
+            text = re.sub(regex, rep, text)
+        text = (text.replace(";", ",").replace(":", ",")
+                .replace("-", " ").replace("&", "and"))
+        text = re.sub(r'[\(\)\[\]\<\>\"]+', "", text)
+        # our number expansion pads with spaces (tacotron's does not);
+        # re-attach punctuation so 'TWO ,' reads 'TWO,' like the reference
+        text = re.sub(r" +([,.!?])", r"\1", text)
+        text = text.upper()
+        return re.sub(r"\s+", " ", text).strip()
 
     def texts_to_tokens(self, texts: List[str]) -> List[List[str]]:
         texts = [self.normalize(t) for t in texts]
