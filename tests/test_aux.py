@@ -484,3 +484,111 @@ def test_trainer_writes_tb_events(tmp_path):
     assert events[-1][1] == 3
     assert abs(events[-1][2]["train/loss"] - 1.25) < 1e-7
     assert "train/epoch" not in events[-1][2]
+
+
+def test_prefetch_close_then_next_does_not_hang():
+    """close() suppresses the producer sentinel; __next__ must terminate
+    (previously blocked forever on q.get())."""
+    import time
+
+    from zipvoice_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(iter(range(100)), depth=2)
+    assert next(it) == 0
+    it.close()
+    t0 = time.monotonic()
+    try:
+        while True:
+            next(it)
+    except StopIteration:
+        pass
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_manifest_crlf_and_segment_crop(tmp_path):
+    """CRLF manifests must not leave \\r on the last column; segment crops
+    round instead of truncating (4.145 s @ 24 kHz is 99480 samples, int()
+    gave 99479)."""
+    import numpy as np
+
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.config import FeatureConfig
+    from zipvoice_tpu.data.dataset import (
+        OnDeviceFbankCollator,
+        read_tsv_manifest,
+    )
+
+    wav_path = tmp_path / "a.wav"
+    rng = np.random.default_rng(0)
+    write_wav(wav_path, (rng.standard_normal((1, 24000 * 6)) * 0.1).astype(
+        np.float32), 24000)
+    (tmp_path / "m.tsv").write_bytes(
+        f"u0\thello\t{wav_path}\t0.0\t4.145\r\n".encode()
+    )
+    utts = read_tsv_manifest(tmp_path / "m.tsv")
+    assert utts[0].wav_path == str(wav_path)  # no trailing \r
+    assert abs(utts[0].duration - 4.145) < 1e-9
+
+    col = OnDeviceFbankCollator(tokenizer=None, feat_cfg=FeatureConfig(),
+                                pad_id=0)
+    wav = col.load_audio(utts[0])
+    assert wav.shape[-1] == round(4.145 * 24000)  # 99480, not 99479
+
+
+def test_native_gate_excludes_segment_rows(tmp_path, monkeypatch):
+    """The native batch loader reads WHOLE files: end-cropped manifest rows
+    must take the python cropping path (previously they passed the gate and
+    only an accidental TypeError saved correctness)."""
+    import numpy as np
+
+    from zipvoice_tpu.audio.wav import write_wav
+    from zipvoice_tpu.config import FeatureConfig
+    from zipvoice_tpu.data.dataset import OnDeviceFbankCollator, Utterance
+
+    wav_path = str(tmp_path / "b.wav")
+    rng = np.random.default_rng(1)
+    write_wav(wav_path, (rng.standard_normal((1, 24000 * 3)) * 0.1).astype(
+        np.float32), 24000)
+    import zipvoice_tpu.ops.native as native
+
+    monkeypatch.setattr(native, "available", lambda: True)
+
+    def boom(*a, **k):
+        raise AssertionError("native loader must not see segment rows")
+
+    monkeypatch.setattr(native, "batch_load_wav", boom)
+    col = OnDeviceFbankCollator(tokenizer=None, feat_cfg=FeatureConfig(),
+                                pad_id=0)
+    seg = Utterance("u", "t", wav_path, start=0.0, duration=1.5)
+    out = col._load_batch_audio([seg])
+    assert out[0].shape[-1] == round(1.5 * 24000)
+
+
+def test_probe_wav_clamps_streaming_sizes(tmp_path):
+    """probe_wav must clamp the data-chunk size to the bytes present:
+    streaming headers write 0xFFFFFFFF (and truncated files lie)."""
+    import numpy as np
+
+    from zipvoice_tpu.audio.wav import (
+        pcm16_bytes,
+        probe_wav,
+        wav_stream_header,
+    )
+
+    pcm = pcm16_bytes(np.zeros(2400, np.float32))
+    (tmp_path / "s.wav").write_bytes(wav_stream_header(24000) + pcm)
+    sr, n, ch = probe_wav(tmp_path / "s.wav")
+    assert (sr, n, ch) == (24000, 2400, 1)
+
+
+def test_safetensors_strips_ddp_prefix(tmp_path):
+    """The safetensors branch must strip 'module.' like the .pt branch."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from zipvoice_tpu.io.checkpoint import load_torch_state_dict
+
+    save_file({"module.embed.weight": np.zeros((3, 2), np.float32)},
+              str(tmp_path / "m.safetensors"))
+    sd = load_torch_state_dict(tmp_path / "m.safetensors")
+    assert list(sd) == ["embed.weight"]

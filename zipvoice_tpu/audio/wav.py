@@ -127,6 +127,9 @@ def probe_wav(path: Union[str, Path]) -> Tuple[int, int, int]:
         head = f.read(12)
         if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
+        import os
+
+        total = os.fstat(f.fileno()).st_size
         fmt = None
         data_size = None
         while True:
@@ -139,7 +142,9 @@ def probe_wav(path: Union[str, Path]) -> Tuple[int, int, int]:
                 fmt = struct.unpack("<HHIIHH", f.read(16))
                 f.seek(size - 16 + (size & 1), 1)
             elif cid == b"data":
-                data_size = size
+                # streaming-style headers write size 0xFFFFFFFF and
+                # truncated files lie: clamp to the bytes actually present
+                data_size = min(size, max(total - f.tell(), 0))
                 f.seek(size + (size & 1), 1)
             else:
                 f.seek(size + (size & 1), 1)

@@ -41,7 +41,7 @@ def read_tsv_manifest(path) -> List[Utterance]:
     utts = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            items = line.rstrip("\n").split("\t")
+            items = line.rstrip("\r\n").split("\t")
             if len(items) == 3:
                 uid, text, wav = items
                 utts.append(Utterance(uid, text, wav))
@@ -97,6 +97,15 @@ class DurationBucketSampler:
         process_count: int = 1,
         drop_last: bool = False,
     ):
+        utterances = list(utterances)
+        unprobed = [u for u in utterances if u.duration is None]
+        if len(unprobed) > 32:
+            # header-only probes are tiny reads; a serial loop over a large
+            # duration-less manifest costs minutes of startup per process
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                list(pool.map(probe_duration, unprobed))
         self.utts = [
             u for u in utterances if min_len <= probe_duration(u) <= max_len
         ]
@@ -109,6 +118,7 @@ class DurationBucketSampler:
         self.drop_last = drop_last
         self.epoch = 0
         self.batch_cursor = 0  # batches already consumed this epoch
+        self._batches_cache = None  # (epoch, batches) memo
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -122,6 +132,11 @@ class DurationBucketSampler:
         self.batch_cursor = state["batch_cursor"]
 
     def _epoch_batches(self) -> List[List[Utterance]]:
+        # memoized per epoch: __len__, pessimistic_batches and __iter__ all
+        # need the same plan; recomputing the shuffle+sort per call is O(n
+        # log n) wasted work on large manifests
+        if self._batches_cache is not None and self._batches_cache[0] == self.epoch:
+            return self._batches_cache[1]
         order = np.arange(len(self.utts))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
@@ -153,7 +168,9 @@ class DurationBucketSampler:
         # with one extra batch would issue collectives the others never
         # join (end-of-epoch deadlock in multi-host SPMD)
         usable = len(batches) - len(batches) % self.process_count
-        return batches[self.process_index:usable:self.process_count]
+        shard = batches[self.process_index:usable:self.process_count]
+        self._batches_cache = (self.epoch, shard)
+        return shard
 
     def pessimistic_batches(self, n: int = 1) -> List[List[Utterance]]:
         """The n largest batches (by total audio seconds) of the current
@@ -174,8 +191,36 @@ class DurationBucketSampler:
         return len(self._epoch_batches())
 
 
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from zipvoice_tpu.utils.shapes import round_up  # noqa: F401 — shared helper
+
+
+
+def _ensure_tokens(tokenizer, utts: List[Utterance]) -> None:
+    """Fill u.tokens: offline token strings are a dict lookup (the G2P ran
+    at prepare_tokens time); anything left runs the tokenizer."""
+    for u in utts:
+        if u.tokens is None and u.token_strs is not None:
+            u.tokens = tokenizer.tokens_to_token_ids([u.token_strs])[0]
+    if any(u.tokens is None for u in utts):
+        token_lists = tokenizer.texts_to_token_ids([u.text for u in utts])
+        for u, toks in zip(utts, token_lists):
+            u.tokens = toks
+
+
+def _pad_token_batch(utts: List[Utterance], pad_id: int, token_bucket: int,
+                     b_pad: int, num_frames: List[int]):
+    """Shared token/length padding for both collators."""
+    from zipvoice_tpu.models.zipvoice import pad_labels
+
+    tokens = pad_labels([u.tokens for u in utts], pad_id)
+    s_pad = round_up(tokens.shape[1], token_bucket)
+    tokens_padded = np.full((b_pad, s_pad), pad_id, np.int32)
+    tokens_padded[: len(utts), : tokens.shape[1]] = tokens
+    features_lens = np.zeros((b_pad,), np.int32)
+    features_lens[: len(utts)] = num_frames
+    tokens_lens = np.zeros((b_pad,), np.int32)
+    tokens_lens[: len(utts)] = [len(u.tokens) for u in utts]
+    return tokens_padded, tokens_lens, features_lens
 
 
 class OnDeviceFbankCollator:
@@ -262,9 +307,14 @@ class OnDeviceFbankCollator:
             assert wav.shape[0] == 2, f"{utt.wav_path}: stereo wav required"
         elif wav.shape[0] > 1:
             wav = wav.mean(axis=0, keepdims=True)
-        if utt.duration is not None and (utt.start or utt.duration):
-            a = int(utt.start * sr)
-            b = a + int(utt.duration * sr)
+        if utt.start or (utt.duration is not None and utt.num_samples is None):
+            # manifest segment rows (duration set WITHOUT a probe-derived
+            # num_samples): crop with rounding — int() truncation shaved
+            # the final sample for most durations (e.g. 4.145 s @ 24 kHz ->
+            # 99479 of 99480).  Probe-derived full-file durations skip the
+            # crop entirely.
+            a = int(round(utt.start * sr))
+            b = a + int(round(utt.duration * sr))
             wav = wav[:, a:b]
         if sr != self.feat_cfg.sampling_rate:
             wav = resample(wav, sr, self.feat_cfg.sampling_rate)
@@ -274,9 +324,17 @@ class OnDeviceFbankCollator:
         """Load a batch's audio: native thread-pooled decode+resample when
         the C++ IO runtime is available (ops/native.py), else per-file numpy."""
         sr_t = self.feat_cfg.sampling_rate
+
+        def full_file(u: Utterance) -> bool:
+            # the native loader always reads the WHOLE file: manifest
+            # segment rows (duration set without probe-derived num_samples)
+            # must take the cropping python path
+            return u.start == 0.0 and (
+                u.duration is None or u.num_samples is not None
+            )
+
         can_native = (
-            not self.three_channel
-            and all(u.start == 0.0 for u in utts)
+            not self.three_channel and all(full_file(u) for u in utts)
         )
         if can_native:
             try:
@@ -294,30 +352,22 @@ class OnDeviceFbankCollator:
                         [u.wav_path for u in utts], sr_t, int(max(exp))
                     )
                     return [audio[i, : lens[i]] for i in range(len(utts))]
-            except Exception:  # noqa: BLE001 — fall back to numpy path
-                pass
+            except Exception as ex:  # noqa: BLE001 — numpy fallback, LOUDLY
+                import logging
+
+                logging.warning(
+                    "native IO batch load failed (%s: %s); numpy fallback",
+                    type(ex).__name__, ex,
+                )
         return [self.load_audio(u) for u in utts]
 
     def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
         import jax.numpy as jnp
 
         from zipvoice_tpu.audio.mel import compute_num_frames
-        from zipvoice_tpu.models.zipvoice import pad_labels
 
         hop = self.feat_cfg.hop_length
-        for u in utts:
-            # offline tokenization (bin/prepare_tokens): strings -> ids is a
-            # dict lookup; the expensive G2P already ran
-            if u.tokens is None and u.token_strs is not None:
-                u.tokens = self.tokenizer.tokens_to_token_ids(
-                    [u.token_strs]
-                )[0]
-        if any(u.tokens is None for u in utts):
-            token_lists = self.tokenizer.texts_to_token_ids(
-                [u.text for u in utts]
-            )
-            for u, toks in zip(utts, token_lists):
-                u.tokens = toks
+        _ensure_tokens(self.tokenizer, utts)
 
         wavs = self._load_batch_audio(utts)
         num_frames = [compute_num_frames(w.shape[-1], hop) for w in wavs]
@@ -337,15 +387,9 @@ class OnDeviceFbankCollator:
         feats = np.asarray(self._fbank_fn(l_pad)(jnp.asarray(audio)))
         feats = feats[:, :t_pad]
 
-        tokens = pad_labels([u.tokens for u in utts], self.pad_id)
-        s_pad = round_up(tokens.shape[1], self.token_bucket)
-        tokens_padded = np.full((b_pad, s_pad), self.pad_id, np.int32)
-        tokens_padded[: len(utts), : tokens.shape[1]] = tokens
-
-        features_lens = np.zeros((b_pad,), np.int32)
-        features_lens[: len(utts)] = num_frames
-        tokens_lens = np.zeros((b_pad,), np.int32)
-        tokens_lens[: len(utts)] = [len(u.tokens) for u in utts]
+        tokens_padded, tokens_lens, features_lens = _pad_token_batch(
+            utts, self.pad_id, self.token_bucket, b_pad, num_frames
+        )
 
         return {
             "tokens": tokens_padded,
@@ -375,28 +419,32 @@ class PrecomputedFeatureCollator:
         self.index: Dict[str, str] = {}
         with open(index_tsv, encoding="utf-8") as f:
             for line in f:
-                items = line.rstrip("\n").split("\t")
+                items = line.rstrip("\r\n").split("\t")
                 if len(items) >= 4:
                     self.index[items[0]] = items[3]
-        self._shard_cache: Dict[str, object] = {}
+        from collections import OrderedDict
+
+        self._shard_cache: "OrderedDict[str, object]" = OrderedDict()
 
     def _features(self, uid: str) -> np.ndarray:
         shard_name = self.index[uid]
-        if shard_name not in self._shard_cache:
-            if len(self._shard_cache) > 4:
-                self._shard_cache.clear()
-            self._shard_cache[shard_name] = np.load(self.feats_dir / shard_name)
-        return self._shard_cache[shard_name][uid].astype(np.float32)
+        cache = self._shard_cache
+        if shard_name in cache:
+            cache.move_to_end(shard_name)
+        else:
+            if len(cache) > 4:
+                # evict ONE cold shard and close its file handle (clear()
+                # thrashed every hot shard and leaked NpzFile descriptors)
+                _, old = cache.popitem(last=False)
+                try:
+                    old.close()
+                except Exception:  # noqa: BLE001
+                    pass
+            cache[shard_name] = np.load(self.feats_dir / shard_name)
+        return cache[shard_name][uid].astype(np.float32)
 
     def __call__(self, utts: List[Utterance]) -> Dict[str, np.ndarray]:
-        from zipvoice_tpu.models.zipvoice import pad_labels
-
-        if any(u.tokens is None for u in utts):
-            token_lists = self.tokenizer.texts_to_token_ids(
-                [u.text for u in utts]
-            )
-            for u, toks in zip(utts, token_lists):
-                u.tokens = toks
+        _ensure_tokens(self.tokenizer, utts)
         feats = [self._features(u.uid) for u in utts]
         num_frames = [f.shape[0] for f in feats]
         t_pad = round_up(max(num_frames), self.frame_bucket)
@@ -406,14 +454,9 @@ class PrecomputedFeatureCollator:
         for i, f in enumerate(feats):
             out[i, : f.shape[0]] = (f + self.feat_bias) * self.feat_scale
 
-        tokens = pad_labels([u.tokens for u in utts], self.pad_id)
-        s_pad = round_up(tokens.shape[1], self.token_bucket)
-        tokens_padded = np.full((b_pad, s_pad), self.pad_id, np.int32)
-        tokens_padded[: len(utts), : tokens.shape[1]] = tokens
-        features_lens = np.zeros((b_pad,), np.int32)
-        features_lens[: len(utts)] = num_frames
-        tokens_lens = np.zeros((b_pad,), np.int32)
-        tokens_lens[: len(utts)] = [len(u.tokens) for u in utts]
+        tokens_padded, tokens_lens, features_lens = _pad_token_batch(
+            utts, self.pad_id, self.token_bucket, b_pad, num_frames
+        )
         return {
             "tokens": tokens_padded,
             "tokens_lens": tokens_lens,

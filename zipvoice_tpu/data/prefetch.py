@@ -72,7 +72,18 @@ class PrefetchIterator:
     def __next__(self):
         if self._done:
             raise StopIteration
-        item = self._q.get()
+        while True:
+            if self._stop.is_set():
+                # close() suppresses the producer's sentinel enqueue, so a
+                # blocking get() here would hang forever (confirmed repro:
+                # next(); close(); next())
+                self._done = True
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.2)
+                break
+            except queue.Empty:
+                continue
         if item is self._SENTINEL:
             self._done = True
             if self._err is not None:

@@ -49,7 +49,12 @@ def load_torch_state_dict(path: Union[str, Path]) -> Dict[str, np.ndarray]:
         from safetensors.numpy import load_file  # host-side only
 
         sd = load_file(str(path))
-        return dict(sd)
+        # same DDP 'module.' prefix strip as the .pt branch — a converted
+        # DDP checkpoint must load identically from either container
+        return {
+            (k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in sd.items()
+        }
 
     import torch  # host-side only; never used in the compute path
 

@@ -40,8 +40,7 @@ from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
 from zipvoice_tpu.models import zipvoice as zv
 
 
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from zipvoice_tpu.utils.shapes import round_up  # noqa: F401 — shared helper
 
 
 from zipvoice_tpu.utils.memo import instance_cache as _instance_cache
