@@ -362,3 +362,29 @@ def test_prefetch_close_releases_producer(corpus):
     batches._it._thread.join(timeout=5)
     assert not batches._it._thread.is_alive()
     assert threading.active_count() <= before + 1
+
+
+def test_lr_hours_epoch_keying_matches_reference_eden():
+    """--lr-hours re-keys Eden's epoch knee to hours (ref
+    train_zipvoice.py:626-632 constructs Eden(lr_batches, lr_hours) and
+    step_epoch(hours)): the epoch factor at h seen hours must be
+    ((h^2+H^2)/H^2)^-0.25.  The previous hours/lr_hours keying (without the
+    lr_epochs factor) made decay ~lr_epochs times too slow."""
+    import numpy as np
+
+    from zipvoice_tpu.train.lr_schedule import eden_lr
+    from zipvoice_tpu.train.step import TrainConfig
+    from zipvoice_tpu.train.trainer import Trainer, TrainerOptions
+
+    t = Trainer.__new__(Trainer)
+    t.opts = TrainerOptions(lr_hours=30000.0)
+    t.train_cfg = TrainConfig(lr_epochs=10.0)
+    t.epoch = 1
+    t.seen_seconds = 30000.0 * 3600.0  # exactly lr_hours seen
+    e = t._epoch_value()
+    # epoch factor from eden_lr at this keying (batch term neutralized)
+    lr = float(eden_lr(1.0, 0.0, e, lr_batches=1e6,
+                       lr_epochs=t.train_cfg.lr_epochs,
+                       warmup_batches=0.0, warmup_start=1.0))
+    want = ((1.0**2 + 1.0) / 1.0) ** -0.25  # h == H -> 2^-0.25
+    assert abs(lr - want) < 1e-6, (lr, want)

@@ -52,7 +52,8 @@ def maybe_init_distributed(args):
         jax.distributed.initialize()
 
 
-def build_data(args, tokenizer, feat_cfg, pad_id, num_channels: int = 1):
+def build_data(args, tokenizer, feat_cfg, pad_id, num_channels: int = 1,
+               skip_dev: bool = False):
     import jax
 
     from zipvoice_tpu.data.dataset import (
@@ -69,7 +70,7 @@ def build_data(args, tokenizer, feat_cfg, pad_id, num_channels: int = 1):
     )
     collate = OnDeviceFbankCollator(tokenizer, feat_cfg, pad_id=pad_id)
     dev_batches = None
-    if args.dev_manifest:
+    if args.dev_manifest and not skip_dev:
         dev_utts = read_tsv_manifest(args.dev_manifest)
         dev_sampler = DurationBucketSampler(
             dev_utts, max_duration=args.max_duration, shuffle=False,

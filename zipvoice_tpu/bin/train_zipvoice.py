@@ -181,6 +181,10 @@ def main():
             trainer.params = jax.device_put(params_snap)
             trainer.opt_state = jax.device_put(opt_snap)
             trainer.batch_idx_train = 0
+            # the probe batch must not leak into the hours-keyed LR
+            # schedule or the running loss
+            trainer.seen_seconds = 0.0
+            trainer.tracker = type(trainer.tracker)()
             logging.info("scan-oom: ok (model state restored)")
 
     exp = Path(args.exp_dir)

@@ -78,8 +78,11 @@ def main(stereo: bool = False):
             loaded = load_checkpoint(args.checkpoint, load_opt=False)["params"]
             params = extend_vocab_params(params, loaded)
 
+    # stereo validates through the mixed-objective pathway: don't let
+    # build_data eagerly decode+fbank the whole dev manifest with the mono
+    # collator only to discard it
     sampler, collate, dev_batches = build_data(
-        args, tokenizer, feat_cfg, model_cfg.pad_id
+        args, tokenizer, feat_cfg, model_cfg.pad_id, skip_dev=stereo
     )
     if stereo:
         from zipvoice_tpu.data.dataset import OnDeviceFbankCollator
@@ -87,7 +90,6 @@ def main(stereo: bool = False):
         collate = OnDeviceFbankCollator(
             tokenizer, feat_cfg, pad_id=model_cfg.pad_id, three_channel=True
         )
-        dev_batches = None  # validation uses the mixed objective pathway
 
     mesh = make_mesh()
     opt = scaled_adam(clipping_scale=2.0)
@@ -135,32 +137,50 @@ def main(stereo: bool = False):
     copy_model_dir_contract(args, args.exp_dir)
     exp = Path(args.exp_dir)
 
+    # resume fine-tune state like the base trainer (without this,
+    # --start-epoch N restarted from the ORIGINAL --checkpoint with a fresh
+    # optimizer, silently discarding epochs 1..N-1 of fine-tuning)
+    sampler_state = None
+    if args.start_epoch > 1:
+        resume_path = exp / f"epoch-{args.start_epoch - 1}.pt"
+        if resume_path.exists():
+            sampler_state = trainer.resume(str(resume_path))
+            import logging
+
+            logging.info("resumed from %s", resume_path)
+    if sampler_state:
+        sampler.load_state_dict(sampler_state)
+
     from zipvoice_tpu.data.prefetch import PrefetchBatches
 
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         trainer.epoch = epoch
-        sampler.set_epoch(epoch)
+        if not (sampler_state and epoch == args.start_epoch):
+            sampler.set_epoch(epoch)
+        sampler_state = None
         batches = PrefetchBatches(sampler, collate, depth=2)
-        for i, batch in enumerate(batches):
-            if stereo:
-                # alternate 2-channel / mixed objectives per batch
-                # (ref train_zipvoice_dialog_stereo.py:507, :355-358)
-                use_two = i % 2 == 1
-                f = model_cfg.feat_dim
-                feats = batch["features"]
-                batch = dict(batch)
-                batch["features"] = (
-                    feats[:, :, : 2 * f] if use_two else feats[:, :, 2 * f :]
-                )
-                trainer.active_step_fn = two_ch_fn if use_two else mixed_fn
-                trainer.step_and_log(batch, dev_batches,
-                                     sampler_state_fn=batches.state_dict)
-            else:
-                trainer.step_and_log(batch, dev_batches,
-                                     sampler_state_fn=batches.state_dict)
-            if args.num_iters and trainer.batch_idx_train >= args.num_iters:
-                break
-        batches.close()  # release the producer on early break
+        try:
+            for i, batch in enumerate(batches):
+                if stereo:
+                    # alternate 2-channel / mixed objectives per batch
+                    # (ref train_zipvoice_dialog_stereo.py:507, :355-358)
+                    use_two = i % 2 == 1
+                    f = model_cfg.feat_dim
+                    feats = batch["features"]
+                    batch = dict(batch)
+                    batch["features"] = (
+                        feats[:, :, : 2 * f] if use_two else feats[:, :, 2 * f :]
+                    )
+                    trainer.active_step_fn = two_ch_fn if use_two else mixed_fn
+                    trainer.step_and_log(batch, dev_batches,
+                                         sampler_state_fn=batches.state_dict)
+                else:
+                    trainer.step_and_log(batch, dev_batches,
+                                         sampler_state_fn=batches.state_dict)
+                if args.num_iters and trainer.batch_idx_train >= args.num_iters:
+                    break
+        finally:
+            batches.close()  # release the producer on early break OR raise
         trainer.save(str(exp / f"epoch-{epoch}.pt"), batches.state_dict())
         if args.num_iters and trainer.batch_idx_train >= args.num_iters:
             break

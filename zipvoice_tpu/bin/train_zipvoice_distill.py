@@ -135,38 +135,40 @@ def main():
     for epoch in range(args.start_epoch, args.num_epochs + 1):
         sampler.set_epoch(epoch)
         batches = PrefetchBatches(sampler, collate, depth=2)
-        for host_batch in batches:
-            step_idx += 1
-            batch = shard_batch(mesh, host_batch)
-            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step_idx)
-            t_triple = np.asarray(draw_t_schedule(host_rng), np.float32)
-            student, teacher, opt_state, metrics = step_fn(
-                student, teacher, opt_state, batch, rng,
-                np.int32(step_idx), t_triple,
-            )
-            if step_idx % args.log_interval == 0:
-                logging.info(
-                    "step %d loss %.4f ref_loss %.4f", step_idx,
-                    float(metrics["loss"]), float(metrics["ref_loss"]),
+        try:
+            for host_batch in batches:
+                step_idx += 1
+                batch = shard_batch(mesh, host_batch)
+                rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), step_idx)
+                t_triple = np.asarray(draw_t_schedule(host_rng), np.float32)
+                student, teacher, opt_state, metrics = step_fn(
+                    student, teacher, opt_state, batch, rng,
+                    np.int32(step_idx), t_triple,
                 )
-            if (step_idx % args.average_period == 0
-                    and jax.process_index() == 0):
-                model_avg = update_averaged_model(
-                    model_avg, student, step_idx, args.average_period
-                )
-            if step_idx % args.save_every_n == 0 and jax.process_index() == 0:
-                save_checkpoint(
-                    str(exp / f"checkpoint-{step_idx}.pt"), student,
-                    model_avg=model_avg,
-                    model_ema=teacher if args.distill_stage == "second" else None,
-                    opt_state=opt_state,
-                    info={"batch_idx_train": step_idx,
-                          "average_period": args.average_period},
-                )
-                remove_checkpoints(str(exp), args.keep_last_k)
-            if step_idx >= max_iters:
-                break
-        batches.close()  # release the producer on early break
+                if step_idx % args.log_interval == 0:
+                    logging.info(
+                        "step %d loss %.4f ref_loss %.4f", step_idx,
+                        float(metrics["loss"]), float(metrics["ref_loss"]),
+                    )
+                if (step_idx % args.average_period == 0
+                        and jax.process_index() == 0):
+                    model_avg = update_averaged_model(
+                        model_avg, student, step_idx, args.average_period
+                    )
+                if step_idx % args.save_every_n == 0 and jax.process_index() == 0:
+                    save_checkpoint(
+                        str(exp / f"checkpoint-{step_idx}.pt"), student,
+                        model_avg=model_avg,
+                        model_ema=teacher if args.distill_stage == "second" else None,
+                        opt_state=opt_state,
+                        info={"batch_idx_train": step_idx,
+                              "average_period": args.average_period},
+                    )
+                    remove_checkpoints(str(exp), args.keep_last_k)
+                if step_idx >= max_iters:
+                    break
+        finally:
+            batches.close()  # release the producer on early break OR raise
         if step_idx >= max_iters:
             break
 

@@ -137,10 +137,17 @@ class ScaledAdam:
             n_valid - 1, (n_valid // 4) * 2
         )
         med = s_full[med_idx]
+        refreshed = c.clipping_scale * med * factor
+        # a non-finite refreshed median means the recent window is full of
+        # blown-up norms — EXACTLY when clipping matters.  Keep the previous
+        # finite threshold instead of silently disabling clipping (the
+        # reference raises here, ref optim.py:585-586; inside jit we clamp
+        # and let the trainer's non-finite-loss watchdogs do the failing).
+        refreshed = jnp.where(
+            jnp.isfinite(refreshed), refreshed, state.model_norm_threshold
+        )
         new_thresh = jnp.where(
-            is_periodic | is_irregular,
-            c.clipping_scale * med * factor,
-            state.model_norm_threshold,
+            is_periodic | is_irregular, refreshed, state.model_norm_threshold
         )
 
         raw = new_thresh / (tot_norm + 1.0e-20)

@@ -193,13 +193,30 @@ def make_eval_step(model_cfg: ZipVoiceConfig, train_cfg: TrainConfig = TrainConf
             k_noise, k_mask = jax.random.split(jax.random.fold_in(rng, i))
             t = jnp.full((b, 1, 1), tv, dtype)
             noise = jax.random.normal(k_noise, features.shape, dtype)
-            losses.append(
-                compute_fm_loss(
-                    cparams, model_cfg, batch["tokens"], batch["tokens_lens"],
-                    features, batch["features_lens"], noise, t, k_mask,
-                    condition_drop_ratio=0.0,
+            if train_cfg.loss == "dialog":
+                # validation must use the TRAINING objective (speaker
+                # embeddings + suffix mask), like the reference
+                from zipvoice_tpu.models.dialog import compute_fm_loss_dialog
+
+                losses.append(
+                    compute_fm_loss_dialog(
+                        cparams, model_cfg, batch["tokens"],
+                        batch["tokens_lens"], features,
+                        batch["features_lens"], noise, t, k_mask,
+                        condition_drop_ratio=0.0,
+                        se_weight=train_cfg.se_weight,
+                        stereo=train_cfg.stereo,
+                    )
                 )
-            )
+            else:
+                losses.append(
+                    compute_fm_loss(
+                        cparams, model_cfg, batch["tokens"],
+                        batch["tokens_lens"], features,
+                        batch["features_lens"], noise, t, k_mask,
+                        condition_drop_ratio=0.0,
+                    )
+                )
         return jnp.mean(jnp.stack(losses)).astype(jnp.float32)
 
     if mesh is None:

@@ -124,9 +124,16 @@ class Trainer:
 
     def _epoch_value(self) -> float:
         """The 'epoch' fed to Eden: real epochs, or hours-of-speech re-keyed
-        (ref train_zipvoice.py:626-632)."""
+        (ref train_zipvoice.py:626-632: Eden's epoch knee becomes lr_hours).
+
+        eden_lr's epoch term is ((e^2+E^2)/E^2)^-0.25 with E=lr_epochs, so
+        feeding hours/lr_hours * lr_epochs makes it exactly
+        ((h^2+H^2)/H^2)^-0.25 with H=lr_hours — the reference's
+        Eden(lr_batches, lr_hours).step_epoch(hours).  (Without the
+        lr_epochs factor the decay was ~lr_epochs times too slow.)"""
         if self.opts.lr_hours > 0:
-            return self.seen_seconds / 3600.0 / self.opts.lr_hours
+            hours = self.seen_seconds / 3600.0
+            return hours / self.opts.lr_hours * self.train_cfg.lr_epochs
         return float(self.epoch - 1)
 
     def _shard(self, batch):
@@ -163,7 +170,12 @@ class Trainer:
             jax.random.PRNGKey(self.opts.seed), self.batch_idx_train
         )
         frames = float(np.sum(batch["features_lens"]))
-        self.seen_seconds += frames / self.opts.frame_rate
+        # hours are GLOBAL: each host sees its equal-size local shard (the
+        # sampler equalizes per-host batch counts), ref counts
+        # max_duration * world_size
+        self.seen_seconds += (
+            frames * jax.process_count() / self.opts.frame_rate
+        )
         batch = self._shard(batch)
         if self._sched_fn is not None:
             from zipvoice_tpu.train.schedules import adjusted_batch_count
@@ -265,13 +277,28 @@ class Trainer:
             metrics = self.train_step(batch)
         except Exception:
             # save the failing state for post-mortem before re-raising
-            # (ref train_zipvoice.py:548-559, 636-639 save_bad_model)
+            # (ref train_zipvoice.py:548-559, 636-639 save_bad_model).
+            # params/opt_state were DONATED into the failing step, so those
+            # buffers may already be invalid; the running average (updated
+            # outside the step) survives and is the recoverable snapshot.
             bad = Path(self.opts.exp_dir) / "bad-model.pt"
             try:
                 self.save(str(bad))
                 logging.warning("step failed; saved %s", bad)
             except Exception:  # noqa: BLE001
-                logging.warning("step failed; could not save bad-model")
+                try:
+                    if jax.process_index() == 0:
+                        ckpt.save_checkpoint(
+                            str(bad), self.model_avg,
+                            info=self._info(),
+                        )
+                        logging.warning(
+                            "step failed; params were donated into the "
+                            "failing step — saved the running AVERAGE to %s",
+                            bad,
+                        )
+                except Exception:  # noqa: BLE001
+                    logging.warning("step failed; could not save bad-model")
             raise
         if self.opts.inf_check and not np.isfinite(float(metrics["loss"])):
             from zipvoice_tpu.utils.hooks import find_nonfinite
