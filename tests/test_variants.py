@@ -256,3 +256,57 @@ def test_distill_loss_and_ema():
     )
     expected = 1e-4 * np.asarray(student["embed"]["weight"])
     np.testing.assert_allclose(d, expected, rtol=1e-3, atol=1e-8)
+
+
+@requires_reference
+def test_sample_intermediate_distill_default_guidance_parity(reference_path):
+    """distill=True with NO guidance passed must embed the solver's
+    documented DEFAULT 0.0 scale (ref solver.py:134: guidance_scale=0.0,
+    always tensorized and embedded; its sinusoidal embedding at 0.0 is
+    nonzero since cos(0)=1) — None previously skipped the embedding branch
+    entirely, changing the network input.  The reference side is driven
+    with an explicit 0.0 (its own sample_intermediate default of None
+    crashes in torch.tensor; real callers always pass a value)."""
+    import torch
+
+    from zipvoice.models.zipvoice_distill import ZipVoiceDistill
+
+    torch.manual_seed(4)
+    ref = ZipVoiceDistill(**_tiny_list(), vocab_size=30, pad_id=0)
+    ref.eval()
+    params = state_dict_to_params(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    )
+    from zipvoice_tpu.models.distill import distill_config
+
+    cfg = distill_config(ZipVoiceConfig(**TINY, vocab_size=30, pad_id=0))
+
+    rng = np.random.default_rng(5)
+    tokens = [[3, 4, 5, 6], [7, 8, 9]]
+    b, t_frames, f = 2, 28, TINY["feat_dim"]
+    features = rng.standard_normal((b, t_frames, f), dtype=np.float32)
+    features_lens = np.array([28, 20])
+    noise = rng.standard_normal((b, t_frames, f), dtype=np.float32)
+    scm = (np.arange(t_frames)[None, :] >= np.array([5, 4])[:, None])
+
+    with torch.no_grad():
+        ref_x, _ = ref.sample_intermediate(
+            tokens=tokens,
+            features=torch.from_numpy(features),
+            features_lens=torch.from_numpy(features_lens),
+            noise=torch.from_numpy(noise),
+            speech_condition_mask=torch.from_numpy(scm),
+            t_start=0.2,
+            t_end=0.7,
+            num_step=2,
+            guidance_scale=torch.zeros((2, 1, 1)),
+        )
+
+    tokens_padded = zv.pad_labels(tokens, 0)
+    tokens_lens = np.array([len(x) for x in tokens])
+    x = zdist.sample_intermediate(
+        params, cfg, tokens_padded, tokens_lens, features, features_lens,
+        noise, scm, t_start=0.2, t_end=0.7, num_step=2, distill=True,
+    )
+    err = np.abs(np.asarray(x) - ref_x.numpy()).max()
+    assert err < 2e-4, f"distill default-guidance err {err}"

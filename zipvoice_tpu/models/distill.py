@@ -55,6 +55,12 @@ def sample_intermediate(
     """Integrate from t_start to t_end given conditioning built from ground
     truth (ref zipvoice.py:488-534).  guidance_scale: (B,1,1) array for the
     distill path, float for the CFG path."""
+    if distill and guidance_scale is None:
+        # the reference DistillDiffusionModel ALWAYS embeds the scale
+        # (default 0.0, whose sinusoidal embedding is nonzero — cos(0)=1,
+        # ref solver.py:127-165); None would silently skip the embedding
+        # branch and change the network input
+        guidance_scale = jnp.zeros((), jnp.float32)
     num_frames = features.shape[1]
     text_condition, padding_mask = zv.forward_text_train(
         params, cfg, tokens_padded, tokens_lens, features_lens, num_frames,

@@ -550,9 +550,13 @@ class ZipVoicePipeline:
         tokens_padded = np.full((n, s_pad), self.model_cfg.pad_id, np.int32)
         for i, c in enumerate(cats):
             tokens_padded[i, : len(c)] = c
-        pf = jnp.zeros((n, t_pad, feats[0].shape[-1]), self.dtype)
-        for i, f in enumerate(feats):
-            pf = pf.at[i, : f.shape[0]].set(jnp.asarray(f, self.dtype))
+        # pad each prompt row then stack once: n sequential .at[].set calls
+        # each dispatched a full-(n, t_pad, F) copy over the tunnel
+        pf = jnp.stack([
+            jnp.pad(jnp.asarray(f, self.dtype),
+                    ((0, t_pad - f.shape[0]), (0, 0)))
+            for f in feats
+        ])
         if seeds is None:
             noise = jax.random.normal(
                 jax.random.PRNGKey(seed), (n, t_pad, self.model_cfg.feat_dim),

@@ -4,7 +4,7 @@ This is the TPU-native replacement for the inference-relevant subset of the
 reference "scaling kit" (ref: zipvoice/models/modules/scaling.py).  The
 training-only gradient shapers (Balancer, Whiten, penalize_abs_values_gt) are
 identity in the forward pass; their gradient-shaping variants live in
-zipvoice_tpu/train/regularizers.py.
+zipvoice_tpu/nn/regularizers.py.
 
 All functions are batch-first (B, T, C) and dtype-polymorphic: reductions that
 are precision-sensitive (BiasNorm statistics, softmax) are computed in float32

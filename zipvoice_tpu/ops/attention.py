@@ -173,23 +173,6 @@ def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, valid_cols, interpret):
     return ds.reshape(b, h, t, t)
 
 
-def _xla_rel_probs(q, k, pq, pe, bias, out_dtype):
-    """Pure-XLA twin of the kernel (same math incl. the additive mask bias);
-    its VJP is the kernel's backward."""
-    t = q.shape[1]
-    attn = jnp.einsum("bthd,bshd->bhts", q, k,
-                      preferred_element_type=jnp.float32)
-    pos = jnp.einsum("bthd,nhd->bhtn", pq, pe,
-                     preferred_element_type=jnp.float32)
-    # rel shift (same as nn.zipformer._rel_shift)
-    b, h = pos.shape[0], pos.shape[1]
-    flat = pos.reshape(b, h, t * (2 * t - 1))
-    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=2)
-    shifted = flat.reshape(b, h, t, 2 * t - 2)[..., :t]
-    scores = attn + shifted + bias[:, None, :, :]
-    return jax.nn.softmax(scores, axis=-1).astype(out_dtype)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _rel_probs_ad(q, k, pq, pe, bias, pen, limit, valid_cols, out_dtype,
                   interpret):
@@ -310,9 +293,11 @@ def rel_attention_probs_any(
     Correctness: padded key columns carry the -1000 additive bias, so real
     rows normalize exactly as the unpadded softmax (exp(-1000) underflows);
     padded query rows are sliced away, and their cotangents are discarded by
-    the pad VJP.  Padded pe rows are zero, so the pre-mask scores against
-    padded keys are 0 — below any penalty limit, contributing nothing to the
-    failsafe gradient.  This keeps the fused kernel live for the downsampled
+    the pad VJP.  NOTE: pre-mask scores against padded key columns are NOT
+    zero in general (a real query row at offset <= t-1 from a phantom
+    column indexes REAL pe rows) — that is exactly why penalty_valid_cols=t
+    bounds the failsafe gradient to real columns; do not remove that
+    plumbing.  This keeps the fused kernel live for the downsampled
     interior stacks (t/2, t/4) whose lengths are rarely TILE-aligned."""
     t = q.shape[1]
     t_pad = ((t + TILE - 1) // TILE) * TILE

@@ -20,7 +20,7 @@ from typing import Dict, Sequence
 import numpy as np
 
 # param-tree keys whose "weight" is not a linear matmul operand
-EXCLUDE_KEYS = ("embed", "depthwise_conv")
+EXCLUDE_KEYS = ("embed", "spk_embed", "depthwise_conv")
 
 
 def quantize_linear_int8(

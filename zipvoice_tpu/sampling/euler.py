@@ -161,7 +161,7 @@ def euler_sample(
             )
             return integrate(xc, v, dt), None
 
-    elif guidance_scale == 0.0:
+    elif isinstance(guidance_scale, float) and guidance_scale == 0.0:
 
         def body(xc, per_step):
             t, dt, _ = per_step
