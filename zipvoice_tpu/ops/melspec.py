@@ -37,7 +37,12 @@ def _kernel(n_fft, hop, log_clamp, audio_ref, win_ref, cos_ref, sin_ref,
             fb_ref, out_ref):
     """Grid: (B, F // TILE).
 
-    audio_ref: (1, L)                     this batch row's full audio
+    audio_ref: (1, 1, L)                  this batch row's full audio
+                                          (3-D: Mosaic requires the last
+                                          TWO block dims to tile or equal
+                                          the array dims — a (1, L) block
+                                          on a (B, L) array fails to lower
+                                          for B > 1)
     win_ref:   (1, n_fft)                 hann window
     cos_ref/sin_ref: (n_fft, half_pad)    real-DFT basis (freq padded to 128x)
     fb_ref:    (half_pad, n_mels_pad)     mel filterbank (zero padded)
@@ -45,11 +50,16 @@ def _kernel(n_fft, hop, log_clamp, audio_ref, win_ref, cos_ref, sin_ref,
     """
     k = n_fft // hop  # frames overlap factor (4 for 1024/256)
     ti = pl.program_id(1)
-    window_len = (TILE + k - 1) * hop
     start = pl.multiple_of(ti * TILE * hop, TILE * hop)
-    window = audio_ref[0, pl.ds(start, window_len)]
-    rows = window.reshape(TILE + k - 1, hop)
-    parts = [rows[i : i + TILE, :] for i in range(k)]
+    # one load per overlap part, each reshaped (TILE, hop) from its own
+    # hop-aligned window.  (Slicing one shared (TILE+k-1, hop) reshape at
+    # k sublane offsets and concatenating does NOT lower: Mosaic rejects
+    # concatenation of vectors with mismatched sublane offsets —
+    # 'result/input offset mismatch on non-concat dimension'.)
+    parts = [
+        audio_ref[0, 0, pl.ds(start + i * hop, TILE * hop)].reshape(TILE, hop)
+        for i in range(k)
+    ]
     frames = jnp.concatenate(parts, axis=1)  # (TILE, n_fft)
     frames = frames * win_ref[0]
     re = jax.lax.dot_general(
@@ -115,7 +125,7 @@ def fused_log_mel(
         in_specs=[
             # full row per batch index; the kernel slices its tile window
             # (overlapping windows can't be expressed as disjoint blocks)
-            pl.BlockSpec((1, length), lambda bi, ti: (bi, 0),
+            pl.BlockSpec((1, 1, length), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_fft), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -131,7 +141,7 @@ def fused_log_mel(
         out_shape=jax.ShapeDtypeStruct((b, num_frames, mels_pad), wav.dtype),
         interpret=interpret,
     )(
-        wav, jnp.asarray(win), jnp.asarray(cosp), jnp.asarray(sinp),
-        jnp.asarray(fbp),
+        wav[:, None, :], jnp.asarray(win), jnp.asarray(cosp),
+        jnp.asarray(sinp), jnp.asarray(fbp),
     )
     return out[..., :n_mels]
