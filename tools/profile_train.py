@@ -1,0 +1,136 @@
+"""On-device breakdown of the 123M training step (B=8, T=1024, bf16).
+
+Times, as separate jitted programs (scan-of-remat layers, regularizers
+live — the exact bench._train_throughput configuration):
+  1. loss forward only
+  2. loss forward + backward (value_and_grad)
+  3. full step (fwd + bwd + ScaledAdam update)  [the bench number]
+  4. ScaledAdam update alone on fixed gradients
+so the step budget splits into fwd / bwd / optimizer, and the scan-of-remat
+recompute cost is visible as (2) vs 3x(1).  Writes PROFILE_train_r3.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.models.zipvoice import compute_fm_loss, init_zipvoice
+    from zipvoice_tpu.nn.zipformer import set_scan_layers
+    from zipvoice_tpu.train.scaled_adam import apply_updates, scaled_adam
+    from zipvoice_tpu.train.schedules import zipvoice_schedules
+    from zipvoice_tpu.train.step import TrainConfig, make_train_step
+    from zipvoice_tpu.utils.flops import peak_bf16_tflops, train_step_flops
+
+    set_scan_layers(True)
+
+    cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
+    rng = np.random.default_rng(0)
+    b, t = 8, 1024
+    batch = {
+        "tokens": rng.integers(1, cfg.vocab_size, (b, 128)).astype(np.int32),
+        "tokens_lens": np.full((b,), 100, np.int32),
+        "features": rng.standard_normal((b, t, cfg.feat_dim)).astype(np.float32),
+        "features_lens": np.full((b,), 1000, np.int32),
+    }
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    opt = scaled_adam(clipping_scale=2.0)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, TrainConfig(compute_dtype="bfloat16"))
+    sched = zipvoice_schedules(10000.0, cfg)
+    key = jax.random.PRNGKey(1)
+    dtype = jnp.bfloat16
+    results = {}
+
+    # mirror train/step.py loss_fn exactly (same RNG splits / masks / dtype)
+    def loss_fn(p, batch_, rng_, schedules):
+        k_t, k_noise, k_mask = jax.random.split(rng_, 3)
+        features = batch_["features"].astype(dtype)
+        bb = features.shape[0]
+        tt = jax.random.uniform(k_t, (bb, 1, 1), dtype)
+        noise = jax.random.normal(k_noise, features.shape, dtype)
+        cparams = jax.tree.map(lambda a: a.astype(dtype), p)
+        return compute_fm_loss(
+            cparams, cfg, batch_["tokens"], batch_["tokens_lens"], features,
+            batch_["features_lens"], noise, tt, k_mask,
+            condition_drop_ratio=0.2, schedules=schedules,
+        )
+
+    def timeit(name, fn, n=10):
+        t_c0 = time.monotonic()
+        out = fn()
+        float(np.asarray(jax.tree.leaves(out)[0], np.float32).ravel()[0])
+        compile_s = time.monotonic() - t_c0
+        t0 = time.monotonic()
+        for _ in range(n):
+            out = fn()
+        float(np.asarray(jax.tree.leaves(out)[0], np.float32).ravel()[0])
+        per = (time.monotonic() - t0) / n
+        results[name] = {"ms": round(per * 1e3, 2),
+                         "compile_s": round(compile_s, 1)}
+        print(f"{name:24s} {per * 1e3:8.2f} ms  (compile {compile_s:.0f}s)",
+              flush=True)
+        return per
+
+    fwd = jax.jit(loss_fn)
+    fwd_bwd = jax.jit(
+        lambda p, b_, k_, s_: jax.value_and_grad(loss_fn)(p, b_, k_, s_)[0]
+    )
+
+    state = {"params": params, "opt_state": opt_state}
+
+    def full():
+        p2, o2, m = step(state["params"], state["opt_state"], dev_batch, key,
+                         np.int32(2), np.float32(0), sched)
+        state["params"], state["opt_state"] = p2, o2
+        return m["loss"]
+
+    s_fwd = timeit("loss_fwd", lambda: fwd(params, dev_batch, key, sched))
+    s_fb = timeit("loss_fwd_bwd", lambda: fwd_bwd(params, dev_batch, key, sched))
+    s_full = timeit("full_step", full)
+
+    grads = jax.tree.map(lambda a: (a * 1e-3), params)
+    opt_state2 = opt.init(params)
+
+    @jax.jit
+    def opt_only(p, o, g):
+        updates, o2 = opt.update(g, o, p, jnp.float32(0.02))
+        return apply_updates(p, updates), o2
+
+    s_opt = timeit("scaled_adam_update",
+                   lambda: opt_only(params, opt_state2, grads))
+
+    flops = train_step_flops(cfg, b, t, 128)
+    peak = peak_bf16_tflops(jax.devices()[0].device_kind)
+    results["_summary"] = {
+        "bwd_minus_fwd_ms": round((s_fb - s_fwd) * 1e3, 2),
+        "step_minus_fwdbwd_ms": round((s_full - s_fb) * 1e3, 2),
+        "opt_only_ms": round(s_opt * 1e3, 2),
+        "analytic_tflops": round(flops / 1e12, 3),
+        "mfu_full_step": round(flops / s_full / 1e12 / peak, 4),
+        "mfu_fwd_only": round((flops / 3) / s_fwd / 1e12 / peak, 4),
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(results["_summary"], indent=2), flush=True)
+    with open("/root/repo/PROFILE_train_r3.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

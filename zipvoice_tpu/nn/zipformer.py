@@ -602,8 +602,10 @@ def _conv_module(p: Params, x: jax.Array,
     """ConvolutionModule forward (ref zipformer.py:1638-1680).
 
     GLU gate -> depthwise conv over time (SAME) -> SwooshR -> out linear.
-    The depthwise conv is expressed as kernel-tap shifts: for K<=31 this is a
-    handful of VPU fma ops XLA fuses, avoiding grouped-conv lowering.
+    The depthwise conv lowers through lax.conv_general_dilated with
+    feature_group_count=C — XLA's grouped-conv emitter beats the K-tap
+    shift-and-fma formulation on TPU (measured r3 at B=2,T=1024,K=31:
+    24.5 vs 35.3 us).
     """
     proj = linear(p["in_proj"], x)
     v, s = jnp.split(proj, 2, axis=-1)
@@ -620,12 +622,11 @@ def _conv_module(p: Params, x: jax.Array,
     w = p["depthwise_conv"]["weight"].astype(x.dtype)  # (K, C)
     kernel = w.shape[0]
     pad = kernel // 2
-    vp = jnp.pad(v, ((0, 0), (pad, pad), (0, 0)))
-    t = v.shape[1]
-    out = None
-    for k in range(kernel):
-        tap = jax.lax.dynamic_slice_in_dim(vp, k, t, axis=1) * w[k]
-        out = tap if out is None else out + tap
+    out = jax.lax.conv_general_dilated(
+        v, w[:, None, :], window_strides=(1,), padding=((pad, pad),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=v.shape[-1],
+    )
     out = out + p["depthwise_conv"]["bias"].astype(x.dtype)
     if ctx is not None:
         out = _maybe_balancer(

@@ -32,8 +32,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
 
+# Shear implementation: "roll" lowers the per-row shift to ONE hardware
+# strided dynamic-rotate (tpu.DynamicRotate via pltpu.roll(stride=...));
+# "binary" is the log2(TILE)-stage roll+select decomposition.  Both are
+# numerically identical (pure permutations); "roll" removes the dominant
+# VPU cost of the probs kernel (measured r3: the binary shear made the
+# kernel ~10x slower than its bandwidth roofline at T=1024).
+_SHEAR_MODE = "roll"
 
-def _tile_scores(q_ref, k_ref, pq_ref, pe_ref):
+
+def set_shear_mode(mode: str) -> None:
+    """'roll' (default) or 'binary' — see _shear/_tile_unshear."""
+    global _SHEAR_MODE
+    assert mode in ("roll", "binary"), mode
+    _SHEAR_MODE = mode
+
+
+def _effective_shear(interpret: bool) -> str:
+    # Interpret mode always uses the binary decomposition: the strided-roll
+    # fallback lowering expands to a TILE-way split+concat per call, which
+    # is pathologically large for the CPU backend (observed flaky segfaults
+    # in long test runs).  Compiled parity of the roll path is asserted on
+    # real hardware by tools/tpu_kernel_check.py.
+    return "binary" if interpret else _SHEAR_MODE
+
+
+def _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear="roll"):
     """Pre-mask scores (TILE, T) f32 for the current grid tile.
 
     q_ref:   (1, TILE, qd)   row-tile queries
@@ -62,28 +86,33 @@ def _tile_scores(q_ref, k_ref, pq_ref, pe_ref):
         preferred_element_type=jnp.float32,
     )  # (TILE, T+TILE)
 
-    # shear: pos[r, j] = pos_full[r, j - r + (TILE-1)].  Expressed as a
-    # global left-roll by TILE-1 followed by a per-row right-roll by r,
-    # where the per-row roll is binary-decomposed into log2(TILE) static
-    # roll+select stages (Mosaic has no arbitrary reshape or per-row
-    # dynamic slice; static concat-rolls and selects lower cleanly).  The
-    # index j - r + TILE - 1 always lands in [0, T+TILE-1), so the
-    # wraparound of the rolls is never observed in columns < T.
+    # shear: pos[r, j] = pos_full[r, j - r + (TILE-1)], i.e. row r right-
+    # rotated by (r - (TILE-1)) mod w.  The index j - r + TILE - 1 always
+    # lands in [0, T+TILE-1), so rotation wraparound is never observed in
+    # columns < T.
     w = t + ti
+    if shear == "roll":
+        # one hardware strided rotate: row r right-rotates by
+        # (w - (ti-1)) + r  ==  r - (ti-1)  (mod w)
+        from jax.experimental.pallas import tpu as _pltpu
 
-    def roll_right(v, s):
-        return jnp.concatenate([v[:, w - s :], v[:, : w - s]], axis=1)
+        x = _pltpu.roll(pos_full, w - (ti - 1), 1, stride=1, stride_axis=0)
+    else:
+        # global left-roll by TILE-1 followed by a per-row right-roll by r,
+        # binary-decomposed into log2(TILE) static roll+select stages.
+        def roll_right(v, s):
+            return jnp.concatenate([v[:, w - s :], v[:, : w - s]], axis=1)
 
-    x = jnp.concatenate(
-        [pos_full[:, ti - 1 :], pos_full[:, : ti - 1]], axis=1
-    )  # left-roll by TILE-1
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
-    nbits = max(1, (ti - 1).bit_length())
-    for bbit in range(nbits):
-        s = 1 << bbit
-        rolled = roll_right(x, s)
-        take = (rows >> bbit) & 1
-        x = jnp.where(take == 1, rolled, x)
+        x = jnp.concatenate(
+            [pos_full[:, ti - 1 :], pos_full[:, : ti - 1]], axis=1
+        )  # left-roll by TILE-1
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
+        nbits = max(1, (ti - 1).bit_length())
+        for bbit in range(nbits):
+            s = 1 << bbit
+            rolled = roll_right(x, s)
+            take = (rows >> bbit) & 1
+            x = jnp.where(take == 1, rolled, x)
     return qk + x[:, :t]
 
 
@@ -93,17 +122,17 @@ def _tile_softmax(scores):
     return e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref):
+def _kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, out_ref, *, shear):
     """Forward. Grid: (B*H, T // TILE); refs carry a leading singleton block
     dim (see _tile_scores).  mask_ref: (1, 1, T) f32 additive key-padding
     bias (-1000 at masked); out_ref: (1, TILE, T) softmaxed probabilities."""
-    scores = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)
+    scores = _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear)
     probs = _tile_softmax(scores + mask_ref[0, 0, :][None, :])
     out_ref[0] = probs.astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
-                ds_ref, *, limit, valid_cols):
+                ds_ref, *, limit, valid_cols, shear):
     """Backward: recompute scores tile-wise (same math as _kernel) and emit
     the score cotangent ds in one pass — softmax VJP fused with the
     attention-score failsafe penalty (ref scaling.py:699-726 adds
@@ -119,7 +148,7 @@ def _bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, g_ref, pen_ref,
     padding columns j < valid_cols DO get penalty, matching the XLA path's
     pre-mask application.)
     """
-    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)  # what the penalty sees
+    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear)  # what the penalty sees
     probs = _tile_softmax(s_pre + mask_ref[0, 0, :][None, :])
 
     g = g_ref[0].astype(jnp.float32)
@@ -147,7 +176,8 @@ def _pallas_rel_ds(q, k, pq, pe, bias, g, pen, limit, valid_cols, interpret):
     pen2 = pen.reshape(1, 1).astype(jnp.float32)
 
     ds = pl.pallas_call(
-        functools.partial(_bwd_kernel, limit=limit, valid_cols=valid_cols),
+        functools.partial(_bwd_kernel, limit=limit, valid_cols=valid_cols,
+                          shear=_effective_shear(interpret)),
         grid=(b * h, t // TILE),
         in_specs=[
             pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
@@ -344,7 +374,7 @@ def rel_attention_probs_any(
 # ---------------------------------------------------------------------------
 
 
-def _tile_unshear(ds, t, ti):
+def _tile_unshear(ds, t, ti, shear="roll"):
     """Adjoint of the shear in _tile_scores: (TILE, T) score-cotangent tile ->
     (TILE, T+TILE) band cotangent with out[r, c] = ds[r, c + r - (TILE-1)]
     (zero where the index falls outside [0, T)).  Implemented as zero-pad to
@@ -355,7 +385,29 @@ def _tile_unshear(ds, t, ti):
     x = jnp.concatenate(
         [ds, jnp.zeros((ds.shape[0], w - t), ds.dtype)], axis=1
     )
-    # global right-roll by TILE-1
+    if shear == "roll":
+        # row r must right-rotate by (ti-1) - r (mod w) — a DECREASING
+        # per-row amount, which tpu.dynamic_rotate cannot express directly
+        # (stride must be non-negative and per-vreg shifts must stay under
+        # the 128-lane width, so stride=w-1 ≡ -1 is rejected by Mosaic).
+        # Instead: reverse sublanes, stride=+1 rotate, reverse back —
+        # row r ends up rotated by (ti-1) - r exactly.  Mosaic has no `rev`
+        # either, so the reversal is an anti-identity matmul on the MXU
+        # (exact at HIGHEST precision; 128x128 @ 128xw is MXU noise).
+        from jax.experimental.pallas import tpu as _pltpu
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+        rev = (ii + jj == ti - 1).astype(x.dtype)
+        hp = jax.lax.Precision.HIGHEST
+        y = jax.lax.dot_general(rev, x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=hp)
+        y = _pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
+        return jax.lax.dot_general(rev, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp)
+    # global right-roll by TILE-1, then per-row left-roll by r
     s0 = ti - 1
     x = jnp.concatenate([x[:, w - s0:], x[:, : w - s0]], axis=1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
@@ -368,13 +420,13 @@ def _tile_unshear(ds, t, ti):
     return x
 
 
-def _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref):
+def _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref, shear):
     """probs (TILE, T) f32 for the current tile + the pre-mask scores.
 
     gate_ref (SMEM, (1, 1)) holds the const-attention gate (0.0 or 1.0,
     ref zipformer.py:545-556): when 1, probabilities are replaced by the
     row-normalized support indicator of the softmax (detached in backward)."""
-    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref)
+    s_pre = _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear)
     probs = _tile_softmax(s_pre + mask_ref[0, 0, :][None, :])
     gate = gate_ref[0, 0]
     binary = (probs > 0.0).astype(jnp.float32)
@@ -386,9 +438,10 @@ def _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref):
 
 
 def _apply_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, gate_ref,
-                  out_ref):
+                  out_ref, *, shear):
     """Forward. Grid (B*H, T // TILE); v_ref (1, T, vd); out (1, TILE, vd)."""
-    _, _, used = _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref)
+    _, _, used = _apply_probs(q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref,
+                              shear)
     v = v_ref[0]
     out_ref[0] = jax.lax.dot_general(
         used.astype(v.dtype), v,
@@ -400,7 +453,7 @@ def _apply_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, gate_ref,
 def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
                       gate_ref, pen_ref,
                       dq_ref, dk_ref, dpq_ref, dpe_ref, dv_ref,
-                      *, limit, valid_cols):
+                      *, limit, valid_cols, shear):
     """Flash-style backward: recompute probs tile-wise, then emit all five
     cotangents without materializing any (T, T) tensor in HBM.
 
@@ -423,7 +476,7 @@ def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     s_pre, probs, used = _apply_probs(
-        q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref
+        q_ref, k_ref, pq_ref, pe_ref, mask_ref, gate_ref, shear
     )
     g = g_ref[0].astype(jnp.float32)  # (TILE, vd)
     v = v_ref[0].astype(jnp.float32)  # (T, vd)
@@ -461,7 +514,7 @@ def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
     )
 
     # positional adjoints through the shear
-    ds_sh = _tile_unshear(ds, t, ti)  # (TILE, T+TILE)
+    ds_sh = _tile_unshear(ds, t, ti, shear)  # (TILE, T+TILE)
     band_start = pl.multiple_of(t - ti - i0, TILE)
     band = pe_ref[0, pl.ds(band_start, t + ti), :].astype(jnp.float32)
     dpq_ref[0] = jax.lax.dot_general(
@@ -497,7 +550,7 @@ def _pallas_rel_apply(q, k, pq, pe, bias, v, gate, out_dtype, interpret):
     gate2 = gate.reshape(1, 1).astype(jnp.float32)
 
     out = pl.pallas_call(
-        _apply_kernel,
+        functools.partial(_apply_kernel, shear=_effective_shear(interpret)),
         grid=(b * h, t // TILE),
         in_specs=[
             pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
@@ -539,7 +592,8 @@ def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
                                           memory_space=pltpu.VMEM)
     dq, dk, dpq, dpe_p, dv = pl.pallas_call(
         functools.partial(_apply_bwd_kernel, limit=limit,
-                          valid_cols=valid_cols),
+                          valid_cols=valid_cols,
+                          shear=_effective_shear(interpret)),
         grid=(b * h, t // TILE),
         in_specs=[
             spec_tile(qd),
@@ -831,7 +885,7 @@ def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
     maskb = bias
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, shear=_effective_shear(interpret)),
         grid=(b * h, t // TILE),
         in_specs=[
             pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
