@@ -360,6 +360,22 @@ def main():
         fused_secs = wav_f.shape[-1] / feat_cfg.sampling_rate
         rtf = float(np.min(times_fused)) / fused_secs
 
+    # tunnel round-trip: a trivial program with the same int16 readback
+    # volume as a request.  On this remote-attached platform every dispatch
+    # pays ~tens of ms of terminal round-trip that a locally-attached chip
+    # would not; rtf_fused_on_chip_est subtracts it (cross-checked against
+    # the scan-chained module profile in PROFILE_r3.json).
+    trivial = jax.jit(lambda x: (x + 1).astype(jnp.int16))
+    zin = jnp.zeros((int(SECONDS_OF_AUDIO * feat_cfg.sampling_rate),),
+                    jnp.int16)
+    np.asarray(trivial(zin))
+    tunnel_s = min(
+        (lambda t0: (np.asarray(trivial(zin)), time.monotonic() - t0)[1])(
+            time.monotonic()
+        )
+        for _ in range(10)
+    )
+
     # provisional line first: if the harness kills this process during the
     # auxiliary measurements below, the headline RTF is already on stdout
     # (the final line, with extras, supersedes it when reached)
@@ -418,6 +434,8 @@ def main():
     fused_flops = infer_flops + vocos_fwd_flops(t_padded)
     model_seconds = rtf * wav_secs  # fused program wall time per request
     infer_mfu = mfu(fused_flops, model_seconds, device_kind)
+    onchip_seconds = max(model_seconds - tunnel_s, 1e-9)
+    infer_mfu_onchip = mfu(fused_flops, onchip_seconds, device_kind)
     if train_tp is not None:
         tr_flops = train_step_flops(cfg, tb, tt, 128)
         train_mfu = round(mfu(tr_flops, train_step_time, device_kind), 4)
@@ -429,6 +447,10 @@ def main():
         "vs_baseline": round(TARGET_RTF / rtf, 2),
         "detail": {
             "rtf_split_pipeline": round(rtf_split, 5),
+            "tunnel_roundtrip_ms": round(tunnel_s * 1e3, 1),
+            "rtf_fused_on_chip_est": round(
+                max(rtf - tunnel_s / wav_secs, 0.0), 5
+            ),
             "rtf_model": round(tm / wav_secs, 5),
             "rtf_vocoder": round(tv / wav_secs, 5),
             "rtf_vocoder_on_chip": voc_chip,
@@ -442,6 +464,7 @@ def main():
             "bf16_mel_mse_vs_f32": bf16_mse,
             "model_tflops_per_request": round(fused_flops / 1e12, 3),
             "mfu_infer_fused": round(infer_mfu, 4),
+            "mfu_infer_on_chip_est": round(infer_mfu_onchip, 4),
             "mfu_train": train_mfu,
             "peak_bf16_tflops": peak_bf16_tflops(device_kind),
             "skipped_over_deadline": skipped,

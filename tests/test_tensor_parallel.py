@@ -82,8 +82,10 @@ def test_tp_step_matches_dp_step():
     np.testing.assert_allclose(l_tp, l_dp, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_dp),
                     jax.tree_util.tree_leaves(p_tp)):
+        # atol 1e-4: sharded-vs-replicated accumulation order differs for
+        # the grouped depthwise conv (see test_sequence_parallel.py)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
 
     # the feedforward weights really live sharded over the model axis
     found = False

@@ -39,6 +39,11 @@ def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize() "
                         "(mesh then spans all hosts; batches shard per host)")
+    p.add_argument("--unroll-layers", action="store_true",
+                   help="trace every encoder layer separately instead of "
+                        "lax.scan-of-layers: faster steps (~25%% on v5e at "
+                        "123M) for a much longer one-time compile — worth "
+                        "it for long production runs, not for smoke tests")
     return p
 
 
@@ -46,6 +51,10 @@ def maybe_init_distributed(args):
     from zipvoice_tpu.models.pipeline import enable_compilation_cache
 
     enable_compilation_cache()
+    if getattr(args, "unroll_layers", False):
+        from zipvoice_tpu.nn.zipformer import set_scan_layers
+
+        set_scan_layers(False)
     if getattr(args, "distributed", False):
         import jax
 

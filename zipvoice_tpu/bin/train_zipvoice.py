@@ -72,6 +72,11 @@ def get_parser():
                    help="disable training-time stochastic regularizers")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--unroll-layers", action="store_true",
+                   help="trace every encoder layer separately instead of "
+                        "lax.scan-of-layers: faster steps (~25%% on v5e at "
+                        "123M) for a much longer one-time compile — worth "
+                        "it for long production runs, not for smoke tests")
     return p
 
 
