@@ -96,8 +96,8 @@ def main():
         run(c1)
         run(c4)
         compile_s = time.monotonic() - t_c0
-        t1 = min(run(c1) for _ in range(3))
-        t4 = min(run(c4) for _ in range(3))
+        t1 = min(run(c1) for _ in range(5))
+        t4 = min(run(c4) for _ in range(5))
         per = max(t4 - t1, 1e-9) / (3 * n)
         row = {
             "us": round(per * 1e6, 2),
@@ -215,16 +215,37 @@ def main():
         def ff_body(x, lp=lp):
             return zf._feedforward(lp["feed_forward1"], x, None)
 
-        timed_scan(f"attn_probs({tag},T{t})", probs_body, x_at(t), n=64,
+        nn = 128 if t >= 1024 else 256
+        timed_scan(f"attn_probs({tag},T{t})", probs_body, x_at(t), n=nn,
                    gflops=probs_gflops(t))
-        timed_scan(f"self_attn({tag},T{t})", sa_body, x_at(t), n=64,
+        timed_scan(f"self_attn({tag},T{t})", sa_body, x_at(t), n=nn,
                    gflops=selfattn_gflops(t))
-        timed_scan(f"nonlin_attn({tag},T{t})", na_body, x_at(t), n=64,
+        timed_scan(f"nonlin_attn({tag},T{t})", na_body, x_at(t), n=nn,
                    gflops=nonlin_gflops(t))
-        timed_scan(f"conv_module({tag},T{t},K{k})", conv_body, x_at(t), n=64,
+        timed_scan(f"conv_module({tag},T{t},K{k})", conv_body, x_at(t), n=nn,
                    gflops=conv_gflops(t, k))
-        timed_scan(f"feedforward({tag},T{t})", ff_body, x_at(t), n=64,
+        timed_scan(f"feedforward({tag},T{t})", ff_body, x_at(t), n=nn,
                    gflops=ff_gflops(t))
+
+    # ---- glue: down/up-sample + out_combiner bypass of one ds=2 stack,
+    # with the inner encoder replaced by identity (isolates wrapper cost) ----
+    sp2 = params["encoders"]["1"]
+
+    def glue_body(x):
+        ds = 2
+        src_orig = x
+        xd = zf._downsample(sp2["downsample"], x, ds)
+        xu = zf._upsample(xd, ds, x.shape[1])
+        return zf._bypass(sp2["out_combiner"], src_orig, xu, None)
+
+    timed_scan("ds_us_bypass(ds2,T1024)", glue_body, x_at(1024), n=256)
+
+    # pos-emb generation per stack call (computed at trace time? no — runtime)
+    def pos_body(x):
+        pe = compact_rel_positional_encoding(1024, cfg.pos_dim)
+        return x * jnp.asarray(0.999, dtype) + jnp.sum(pe).astype(dtype) * 1e-9
+
+    timed_scan("pos_encoding(T1024)", pos_body, x_at(1024), n=256)
 
     # ---- reconstruction ----
     recon = (6 * layer_s["ds1"] + 6 * layer_s["ds2"] + 4 * layer_s["ds4"])
