@@ -74,9 +74,11 @@ def get_parser():
                    help="multi-host: call jax.distributed.initialize()")
     p.add_argument("--unroll-layers", action="store_true",
                    help="trace every encoder layer separately instead of "
-                        "lax.scan-of-layers: faster steps (~25%% on v5e at "
-                        "123M) for a much longer one-time compile — worth "
-                        "it for long production runs, not for smoke tests")
+                        "lax.scan-of-layers.  Measured on v5e at 123M/B=8: "
+                        "122.6 vs 128.1 ms/step (~4.5%% faster) for a ~2.5x "
+                        "longer one-time compile — the flash attention "
+                        "backward makes scan-of-remat nearly free; only "
+                        "worth it for very long production runs")
     return p
 
 
