@@ -374,39 +374,24 @@ def rel_attention_probs_any(
 # ---------------------------------------------------------------------------
 
 
-def _tile_unshear(ds, t, ti, shear="roll"):
+def _tile_unshear(ds, t, ti):
     """Adjoint of the shear in _tile_scores: (TILE, T) score-cotangent tile ->
     (TILE, T+TILE) band cotangent with out[r, c] = ds[r, c + r - (TILE-1)]
     (zero where the index falls outside [0, T)).  Implemented as zero-pad to
     width T+TILE, a global right-roll by TILE-1, then a binary-decomposed
     per-row LEFT-roll by r; wrapped indices always land in the zero-padded
-    columns, so the circular rolls never alias real data."""
+    columns, so the circular rolls never alias real data.
+
+    NOTE: only the "binary" decomposition lives here — the "roll" path's
+    unshear needs a DECREASING per-row rotate, which tpu.dynamic_rotate
+    cannot express (non-negative stride, per-vreg shifts < lane width), so
+    _apply_bwd_kernel instead conjugates a stride=+1 rotate with
+    anti-identity MXU reversals and pushes the reversals onto the pd-wide
+    adjoint products (see the roll branch there)."""
     w = t + ti
     x = jnp.concatenate(
         [ds, jnp.zeros((ds.shape[0], w - t), ds.dtype)], axis=1
     )
-    if shear == "roll":
-        # row r must right-rotate by (ti-1) - r (mod w) — a DECREASING
-        # per-row amount, which tpu.dynamic_rotate cannot express directly
-        # (stride must be non-negative and per-vreg shifts must stay under
-        # the 128-lane width, so stride=w-1 ≡ -1 is rejected by Mosaic).
-        # Instead: reverse sublanes, stride=+1 rotate, reverse back —
-        # row r ends up rotated by (ti-1) - r exactly.  Mosaic has no `rev`
-        # either, so the reversal is an anti-identity matmul on the MXU
-        # (exact at HIGHEST precision; 128x128 @ 128xw is MXU noise).
-        from jax.experimental.pallas import tpu as _pltpu
-
-        ii = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
-        rev = (ii + jj == ti - 1).astype(x.dtype)
-        hp = jax.lax.Precision.HIGHEST
-        y = jax.lax.dot_general(rev, x, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=hp)
-        y = _pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
-        return jax.lax.dot_general(rev, y, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=hp)
     # global right-roll by TILE-1, then per-row left-roll by r
     s0 = ti - 1
     x = jnp.concatenate([x[:, w - s0:], x[:, : w - s0]], axis=1)
@@ -514,18 +499,62 @@ def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
     )
 
     # positional adjoints through the shear
-    ds_sh = _tile_unshear(ds, t, ti, shear)  # (TILE, T+TILE)
     band_start = pl.multiple_of(t - ti - i0, TILE)
     band = pe_ref[0, pl.ds(band_start, t + ti), :].astype(jnp.float32)
-    dpq_ref[0] = jax.lax.dot_general(
-        ds_sh, band, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dband = jax.lax.dot_general(
-        ds_sh, pq_ref[0].astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T+TILE, pd)
+    if shear == "roll":
+        # ds_sh = R @ roll(R @ ds_pad)  (see _tile_unshear), but only two
+        # pd-wide products consume ds_sh, so push R onto THEM instead of
+        # materializing ds_sh:
+        #     dpq  = ds_sh @ band   = R @ (y @ band)
+        #     dpe += ds_sh^T @ pq   = y^T @ (R @ pq)      (R is symmetric)
+        # One wide reverse (default matmul precision — the downstream
+        # contractions truncate operands to bf16 anyway, so an exact f32
+        # reverse buys nothing) plus two hp reverses on (*, pd) tiles that
+        # are MXU noise.  The two wide HIGHEST-precision reverses of the
+        # naive formulation were 54% of this kernel's runtime (measured
+        # r3: 1518 -> 691 us with the unshear stubbed, B=8, T=1024).
+        from jax.experimental.pallas import tpu as _pltpu
+
+        w = t + ti
+        ii = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+        rev = (ii + jj == ti - 1).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        ds_pad = jnp.concatenate(
+            [ds, jnp.zeros((ti, w - t), ds.dtype)], axis=1
+        )
+        y = jax.lax.dot_general(
+            rev, ds_pad, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = _pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
+        z = jax.lax.dot_general(
+            y, band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE, pd)
+        dpq_ref[0] = jax.lax.dot_general(
+            rev, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        rpq = jax.lax.dot_general(
+            rev, pq_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+        dband = jax.lax.dot_general(
+            y, rpq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T+TILE, pd)
+    else:
+        ds_sh = _tile_unshear(ds, t, ti)  # (TILE, T+TILE)
+        dpq_ref[0] = jax.lax.dot_general(
+            ds_sh, band, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dband = jax.lax.dot_general(
+            ds_sh, pq_ref[0].astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T+TILE, pd)
     dpe_ref[0, pl.ds(band_start, t + ti), :] += dband
 
 
