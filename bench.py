@@ -398,7 +398,7 @@ def main():
         skipped.append(label)
         return False
 
-    batched_tp = bf16_mse = train_tp = voc_chip = None
+    batched_tp = batched_tp16 = bf16_mse = train_tp = voc_chip = None
     train_mfu = None
     distill_rtfs = {}
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
@@ -406,6 +406,8 @@ def main():
         voc_chip = float(f"{_vocoder_on_chip(feat_cfg, pipe.vocos_params, dtype):.2e}")
     if budget_ok("serving_b8"):
         batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
+    if budget_ok("serving_b16"):
+        batched_tp16 = round(_batched_throughput(cfg, bparams, batch=16), 1)
     if budget_ok("bf16_fidelity"):
         bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
     if budget_ok("train_throughput"):
@@ -456,6 +458,14 @@ def main():
             "rtf_vocoder_on_chip": voc_chip,
             "wav_seconds": round(wav_secs, 2),
             "serving_b8_audio_sec_per_sec": batched_tp,
+            "serving_b16_audio_sec_per_sec": batched_tp16,
+            # batched sampler MFU: aggregate requests/s x sampler FLOPs per
+            # request (no vocoder in the batched program) vs bf16 peak
+            "mfu_serving_b8": (
+                round(mfu(infer_flops * batched_tp / SECONDS_OF_AUDIO, 1.0,
+                          device_kind), 4)
+                if batched_tp else None
+            ),
             "distill_rtf_8step": round(distill_rtfs[8], 5) if 8 in distill_rtfs else None,
             "distill_rtf_low_step": {
                 str(k): round(v, 5) for k, v in distill_rtfs.items() if k != 8

@@ -93,20 +93,18 @@ def _up2(x: jax.Array, kernel_size: int) -> jax.Array:
 
     xp = _replicate_pad_time(x, pad, pad)  # (B, T+2*pad, C)
     tp = t + 2 * pad
-    # conv_transpose(stride 2) == zero-stuff + full convolution
-    z = jnp.zeros((b, tp, ratio, c), x.dtype)
-    z = z.at[:, :, 0, :].set(xp)
-    z = z.reshape(b, ratio * tp, c)[:, : ratio * (tp - 1) + 1, :]
-    zp = jnp.pad(z, ((0, 0), (kernel_size - 1, kernel_size - 1), (0, 0)))
+    # conv_transpose(stride 2) == lhs-dilated (zero-stuffed) correlation
+    # with the flipped filter; one grouped conv instead of K tap-shifts
+    # (XLA's conv emitter beats the fma cascade on TPU, cf. _conv_module)
     w = jnp.asarray(filt, x.dtype)
+    kern = jnp.tile(w[::-1][:, None, None], (1, 1, c))  # (K, 1, C)
+    out = jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(1,),
+        padding=[(kernel_size - 1, kernel_size - 1)],
+        lhs_dilation=(ratio,), dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c,
+    )
     full_len = ratio * (tp - 1) + kernel_size
-    out = None
-    for j in range(kernel_size):
-        # full conv: out[n] = sum_j w[k-1-j] zp[n + j]
-        tap = jax.lax.dynamic_slice_in_dim(zp, j, full_len, axis=1) * w[
-            kernel_size - 1 - j
-        ]
-        out = tap if out is None else out + tap
     return out[:, pad_left : full_len - pad_right, :]
 
 
@@ -121,15 +119,11 @@ def _down2(x: jax.Array, kernel_size: int) -> jax.Array:
     filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, kernel_size)
     xp = _replicate_pad_time(x, pad_left, pad_right)
     w = jnp.asarray(filt, x.dtype)
-    t_out = (t2 + pad_left + pad_right - kernel_size) // ratio + 1
-    out = None
-    for k in range(kernel_size):
-        sl = jax.lax.dynamic_slice_in_dim(
-            xp, k, ratio * (t_out - 1) + 1, axis=1
-        )
-        tap = sl[:, ::ratio, :] * w[k]
-        out = tap if out is None else out + tap
-    return out
+    kern = jnp.tile(w[:, None, None], (1, 1, c))  # (K, 1, C)
+    return jax.lax.conv_general_dilated(
+        xp, kern, window_strides=(ratio,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=c,
+    )
 
 
 def snakebeta(x: jax.Array, alpha: jax.Array, beta: jax.Array,
