@@ -121,3 +121,39 @@ def test_scaled_adam_converges():
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < 0.01 * losses[0], (losses[0], losses[-1])
+
+
+def test_gradient_dominating_parameter_diag():
+    """update(with_diagnostics=True) names the tensor dominating the
+    rms-scaled gradient norm (ref optim.py:633-748) and reports the clip
+    factor; the default 2-tuple signature is unchanged."""
+    import numpy as np
+
+    from zipvoice_tpu.train.scaled_adam import leaf_names, scaled_adam
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+        "b": {"w": jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)},
+    }
+    opt = scaled_adam(clipping_scale=2.0)
+    state = opt.init(params)
+
+    # warm param_rms with one normal step (rms starts at init-time values)
+    g0 = jax.tree.map(lambda p: 0.01 * jnp.ones_like(p), params)
+    _, state = opt.update(g0, state, params, 0.01)
+
+    grads = {
+        "a": jnp.full((8, 8), 1e-4, jnp.float32),
+        "b": {"w": jnp.full((4, 4), 10.0, jnp.float32)},  # dominant
+    }
+    updates, state2, diag = opt.update(grads, state, params, 0.01,
+                                       with_diagnostics=True)
+    names = leaf_names(params)
+    assert names[int(diag["grad_dominant_idx"])] == "b.w"
+    assert float(diag["grad_dominant_frac"]) > 0.99
+    assert 0.0 <= float(diag["grad_clip"]) <= 1.0
+    # same updates as the plain signature
+    updates_plain, _ = opt.update(grads, state, params, 0.01)
+    for u1, u2 in zip(jax.tree.leaves(updates), jax.tree.leaves(updates_plain)):
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))

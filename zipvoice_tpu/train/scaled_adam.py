@@ -92,24 +92,34 @@ class ScaledAdam:
 
     def _clipping(self, grads, state: ScaledAdamState, params):
         """Median-of-history clipping (ref optim.py:520-631).  Returns
-        (clip_factor, new_model_norms, new_threshold)."""
+        (clip_factor, new_model_norms, new_threshold, dominant) where
+        dominant = (leaf_index, fraction): which tensor contributes the
+        largest share of the rms-scaled squared gradient norm — the
+        in-graph equivalent of the reference's dominant-parameter
+        diagnostic (ref optim.py:633-748), surfaced through the step
+        metrics so the trainer can name the culprit when clipping bites."""
         c = self.cfg
+        zero_dom = (jnp.int32(0), jnp.float32(0.0))
         if c.clipping_scale is None:
             one = jnp.float32(1.0)
-            return one, state.model_norms, state.model_norm_threshold
+            return one, state.model_norms, state.model_norm_threshold, zero_dom
 
         step = state.step
         leaves_g, treedef = jax.tree.flatten(grads)
         leaves_p = treedef.flatten_up_to(params)
         leaves_rms = treedef.flatten_up_to(state.param_rms)
 
-        tot_sumsq = jnp.float32(0.0)
+        per_leaf = []
         for g, p, rms in zip(leaves_g, leaves_p, leaves_rms):
             g32 = g.astype(jnp.float32)
             if _is_scalar(p):
-                tot_sumsq += jnp.square(g32) * (c.scalar_lr_scale**2)
+                per_leaf.append(jnp.square(g32) * (c.scalar_lr_scale**2))
             else:
-                tot_sumsq += jnp.sum(jnp.square(g32 * rms))
+                per_leaf.append(jnp.sum(jnp.square(g32 * rms)))
+        per_leaf = jnp.stack(per_leaf)
+        tot_sumsq = jnp.sum(per_leaf)
+        dom_idx = jnp.argmax(per_leaf).astype(jnp.int32)
+        dom_frac = per_leaf[dom_idx] / jnp.maximum(tot_sumsq, 1e-20)
         tot_norm = jnp.sqrt(tot_sumsq)
 
         # step 0 returns early in the reference without recording the norm
@@ -157,7 +167,7 @@ class ScaledAdam:
         clip = jnp.where(
             (step == 0) | jnp.isinf(new_thresh), jnp.float32(1.0), clip
         )
-        return clip, norms, new_thresh
+        return clip, norms, new_thresh, (dom_idx, dom_frac)
 
     # ------------------------------------------------------------ update
 
@@ -220,13 +230,20 @@ class ScaledAdam:
             update = jnp.clip(p32 + delta, -c.scalar_max, c.scalar_max) - p32
         return update, eas, delta, prms, sgrads, seas
 
-    def update(self, grads, state: ScaledAdamState, params, lr, lr_scales=None):
+    def update(self, grads, state: ScaledAdamState, params, lr, lr_scales=None,
+               with_diagnostics: bool = False):
         """lr_scales: optional pytree (or prefix-matched flat dict from
         parameter_lr_scales) of per-leaf LR multipliers — the equivalent of
         the reference's get_parameter_groups_with_lrs per-module lr_scale
-        (ref utils/common.py:579-664).  A scale of 0 freezes a tensor."""
+        (ref utils/common.py:579-664).  A scale of 0 freezes a tensor.
+
+        with_diagnostics=True returns a third element {"grad_clip",
+        "grad_dominant_idx", "grad_dominant_frac"} (traced scalars): the
+        clip factor applied this step and the leaf (tree-flatten order)
+        dominating the rms-scaled gradient norm — the reference logs this
+        when clipping becomes extreme (ref optim.py:615-631, 633-748)."""
         lr = jnp.asarray(lr, jnp.float32)
-        clip, norms, thresh = self._clipping(grads, state, params)
+        clip, norms, thresh, dom = self._clipping(grads, state, params)
         # non-finite median collapse -> clip==0 zeroes all grads
         grads = jax.tree.map(lambda g: g.astype(jnp.float32) * clip, grads)
 
@@ -267,6 +284,13 @@ class ScaledAdam:
             model_norms=norms,
             model_norm_threshold=thresh,
         )
+        if with_diagnostics:
+            diag = {
+                "grad_clip": clip,
+                "grad_dominant_idx": dom[0],
+                "grad_dominant_frac": dom[1],
+            }
+            return unflat(updates), new_state, diag
         return unflat(updates), new_state
 
 
@@ -278,6 +302,16 @@ def scaled_adam(
 
 def apply_updates(params, updates):
     return jax.tree.map(lambda p, u: (p + u.astype(p.dtype)), params, updates)
+
+
+def leaf_names(params):
+    """Dotted parameter names in jax.tree.flatten order — maps the
+    grad_dominant_idx diagnostic back to a human-readable tensor name."""
+    paths, _ = jax.tree.flatten_with_path(params)
+    return [
+        ".".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        for path, _ in paths
+    ]
 
 
 def parameter_lr_scales(params, rules):

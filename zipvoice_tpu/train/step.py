@@ -119,9 +119,12 @@ def make_train_step(
             )
         else:
             lr = fixed_lr(train_cfg.base_lr)
-        updates, opt_state = opt.update(grads, opt_state, params, lr)
+        updates, opt_state, diag = opt.update(grads, opt_state, params, lr,
+                                              with_diagnostics=True)
         params = apply_updates(params, updates)
-        metrics = {"loss": loss.astype(jnp.float32), "lr": lr}
+        # diag: clip factor + dominant-gradient leaf (ref optim.py:615-748);
+        # the trainer names the tensor when clipping becomes extreme
+        metrics = {"loss": loss.astype(jnp.float32), "lr": lr, **diag}
         return params, opt_state, metrics
 
     if mesh is None:
