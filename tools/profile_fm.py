@@ -247,8 +247,13 @@ def main():
 
     timed_scan("pos_encoding(T1024)", pos_body, x_at(1024), n=256)
 
-    # ---- reconstruction ----
-    recon = (6 * layer_s["ds1"] + 6 * layer_s["ds2"] + 4 * layer_s["ds4"])
+    # ---- reconstruction (layer counts derived from the config) ----
+    n_by_ds = {}
+    for ds, n, _k in stacks:
+        n_by_ds[ds] = n_by_ds.get(ds, 0) + n
+    recon = (n_by_ds.get(1, 0) * layer_s["ds1"]
+             + n_by_ds.get(2, 0) * layer_s["ds2"]
+             + n_by_ds.get(4, 0) * layer_s["ds4"])
     results["_summary"] = {
         "nfe_measured_us": round(nfe_s * 1e6, 1),
         "nfe_from_layers_us": round(recon * 1e6, 1),

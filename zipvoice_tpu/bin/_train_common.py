@@ -4,6 +4,14 @@ from __future__ import annotations
 
 import argparse
 
+UNROLL_LAYERS_HELP = (
+    "trace every encoder layer separately instead of lax.scan-of-layers.  "
+    "Measured on v5e at 123M/B=8: 122.6 vs 128.1 ms/step (~4.5%% faster) "
+    "for a ~2.5x longer one-time compile — the flash attention backward "
+    "makes scan-of-remat nearly free; only worth it for very long "
+    "production runs"
+)
+
 
 def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
     p.add_argument("--train-manifest", type=str, required=True)
@@ -40,12 +48,7 @@ def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
                    help="multi-host: call jax.distributed.initialize() "
                         "(mesh then spans all hosts; batches shard per host)")
     p.add_argument("--unroll-layers", action="store_true",
-                   help="trace every encoder layer separately instead of "
-                        "lax.scan-of-layers.  Measured on v5e at 123M/B=8: "
-                        "122.6 vs 128.1 ms/step (~4.5%% faster) for a ~2.5x "
-                        "longer one-time compile — the flash attention "
-                        "backward makes scan-of-remat nearly free; only "
-                        "worth it for very long production runs")
+                   help=UNROLL_LAYERS_HELP)
     return p
 
 

@@ -72,13 +72,10 @@ def get_parser():
                    help="disable training-time stochastic regularizers")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
+    from zipvoice_tpu.bin._train_common import UNROLL_LAYERS_HELP
+
     p.add_argument("--unroll-layers", action="store_true",
-                   help="trace every encoder layer separately instead of "
-                        "lax.scan-of-layers.  Measured on v5e at 123M/B=8: "
-                        "122.6 vs 128.1 ms/step (~4.5%% faster) for a ~2.5x "
-                        "longer one-time compile — the flash attention "
-                        "backward makes scan-of-remat nearly free; only "
-                        "worth it for very long production runs")
+                   help=UNROLL_LAYERS_HELP)
     return p
 
 

@@ -74,9 +74,12 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     ({'weight_int8', 'weight_scale'}): the int8->compute-dtype cast fuses
     into the matmul and the per-output-channel scale into its epilogue."""
     if "weight_int8" in p:
+        # f32 accumulator + f32 per-channel scale in the epilogue, THEN the
+        # cast to compute dtype: rounding the scale to bf16 first would
+        # throw away half the precision the int8 quantization preserved
         y = jnp.dot(x, p["weight_int8"].astype(x.dtype),
-                    preferred_element_type=x.dtype)
-        y = y * p["weight_scale"].astype(x.dtype)
+                    preferred_element_type=jnp.float32)
+        y = (y * p["weight_scale"].astype(jnp.float32)).astype(x.dtype)
     else:
         w = p["weight"].astype(x.dtype)
         y = jnp.dot(x, w, preferred_element_type=x.dtype)

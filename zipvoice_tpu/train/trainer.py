@@ -301,26 +301,33 @@ class Trainer:
                 except Exception:  # noqa: BLE001
                     logging.warning("step failed; could not save bad-model")
             raise
-        clip = metrics.get("grad_clip")
-        if clip is not None and float(clip) < 0.1:
-            # extreme clipping: name the tensor dominating the gradient
-            # norm (ref optim.py:615-631 warns + :633-748 prints the
-            # dominant parameter at scale < 0.1)
-            from zipvoice_tpu.train.scaled_adam import leaf_names
+        # Only read traced metrics at the same cadence as logging (or under
+        # opt-in inf_check, which already syncs every step): a per-step
+        # float() would block async dispatch and stall the pipeline by one
+        # host round-trip per step.
+        if self.opts.inf_check or (
+            self.batch_idx_train % self.opts.log_interval == 0
+        ):
+            clip = metrics.get("grad_clip")
+            if clip is not None and float(clip) < 0.1:
+                # extreme clipping: name the tensor dominating the gradient
+                # norm (ref optim.py:615-631 warns + :633-748 prints the
+                # dominant parameter at scale < 0.1)
+                from zipvoice_tpu.train.scaled_adam import leaf_names
 
-            if self._leaf_names is None:
-                self._leaf_names = leaf_names(self.params)
-            idx = int(metrics["grad_dominant_idx"])
-            name = (
-                self._leaf_names[idx]
-                if idx < len(self._leaf_names) else f"leaf{idx}"
-            )
-            logging.warning(
-                "step %d: grad clipped to %.3f of its norm; dominant "
-                "parameter %s (%.1f%% of rms-scaled grad^2)",
-                self.batch_idx_train, float(clip), name,
-                100.0 * float(metrics["grad_dominant_frac"]),
-            )
+                if self._leaf_names is None:
+                    self._leaf_names = leaf_names(self.params)
+                idx = int(metrics["grad_dominant_idx"])
+                name = (
+                    self._leaf_names[idx]
+                    if idx < len(self._leaf_names) else f"leaf{idx}"
+                )
+                logging.warning(
+                    "step %d: grad clipped to %.3f of its norm; dominant "
+                    "parameter %s (%.1f%% of rms-scaled grad^2)",
+                    self.batch_idx_train, float(clip), name,
+                    100.0 * float(metrics["grad_dominant_frac"]),
+                )
         if self.opts.inf_check and not np.isfinite(float(metrics["loss"])):
             from zipvoice_tpu.utils.hooks import find_nonfinite
 
