@@ -51,16 +51,17 @@ def _layer_norm(x, weight, bias, eps=1e-6):
 
 
 def _depthwise_conv7(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """(B, T, C) depthwise conv, kernel K odd, SAME padding, as tap-shifts."""
+    """(B, T, C) depthwise conv, kernel K odd, SAME padding — grouped conv
+    (XLA's conv emitter beats K-tap shift-fma on TPU, cf. nn/zipformer
+    _conv_module)."""
     k = w.shape[0]
     pad = k // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-    t = x.shape[1]
-    out = None
-    for i in range(k):
-        tap = jax.lax.dynamic_slice_in_dim(xp, i, t, axis=1) * w[i]
-        out = tap if out is None else out + tap
-    return out + b
+    y = jax.lax.conv_general_dilated(
+        x, w[:, None, :].astype(x.dtype), window_strides=(1,),
+        padding=[(pad, pad)], dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=x.shape[-1],
+    )
+    return y + b
 
 
 def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
