@@ -388,3 +388,25 @@ def test_lr_hours_epoch_keying_matches_reference_eden():
                        warmup_batches=0.0, warmup_start=1.0))
     want = ((1.0**2 + 1.0) / 1.0) ** -0.25  # h == H -> 2^-0.25
     assert abs(lr - want) < 1e-6, (lr, want)
+
+
+def test_unroll_layers_flag_toggles_scan():
+    """--unroll-layers routes through maybe_init_distributed into
+    zipformer.set_scan_layers(False) for every trainer CLI."""
+    import argparse
+
+    from zipvoice_tpu.bin._train_common import maybe_init_distributed
+    from zipvoice_tpu.nn import zipformer as zf
+
+    before = zf._SCAN_LAYERS
+    try:
+        zf.set_scan_layers(True)
+        maybe_init_distributed(argparse.Namespace(unroll_layers=True,
+                                                  distributed=False))
+        assert zf._SCAN_LAYERS is False
+        zf.set_scan_layers(True)
+        maybe_init_distributed(argparse.Namespace(unroll_layers=False,
+                                                  distributed=False))
+        assert zf._SCAN_LAYERS is True
+    finally:
+        zf.set_scan_layers(before)
