@@ -279,7 +279,113 @@ def _bf16_fidelity(cfg, feat_cfg) -> float:
     return mel_mse(run(jnp.bfloat16), run(jnp.float32))
 
 
+# Last driver-captured numbers + the builder-side round-3 measurements, used
+# as the degraded-mode payload when the TPU backend is unreachable (the
+# 2026-08-17 tunnel outage turned BENCH_r03 into a bare traceback; this bench
+# must never fail open again — VERDICT r3 next #1).
+LAST_KNOWN = {
+    "inference_rtf_zipvoice123M_16step": 0.01823,
+    "provenance": "BENCH_r02.json (driver-captured)",
+    "builder_measured_r3": {
+        "rtf_fused": 0.01457,
+        "rtf_fused_on_chip_est": 0.0099,
+        "mfu_infer_fused": 0.256,
+        "train_sec_audio_per_sec_per_chip": 680.0,
+        "provenance": "PROFILE_r3.json + CLAUDE.md (builder-side, pre-outage)",
+    },
+}
+
+PROBE_SCRIPT = (
+    "import jax, jax.numpy as jnp, numpy as np\n"
+    "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+    "y = np.asarray(jax.jit(lambda a: a @ a)(x))\n"
+    "print('PROBE_OK', float(y[0, 0]))\n"
+)
+
+
+def _probe_backend(attempt_timeout: float = 100.0, budget: float = 420.0):
+    """Timeout-wrapped subprocess probe of the TPU backend (tiny matmul +
+    host readback).  The observed outage mode is an indefinite hang inside
+    backend init (CLAUDE.md 2026-08-17), which no in-process guard can
+    escape — hence the subprocess.  Retries with backoff within ``budget``.
+    Returns (ok, detail_str)."""
+    import subprocess
+    import sys
+
+    t0 = time.monotonic()
+    attempt = 0
+    detail = ""
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", PROBE_SCRIPT],
+                capture_output=True, text=True, timeout=attempt_timeout,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True, f"probe ok (attempt {attempt})"
+            detail = (
+                f"probe rc={r.returncode}: "
+                + (r.stderr or r.stdout).strip()[-300:]
+            )
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {attempt_timeout:.0f}s"
+        if time.monotonic() - t0 + 30 + attempt_timeout > budget:
+            return False, f"{detail} (gave up after {attempt} attempts)"
+        time.sleep(30)
+
+
+def _emit(value, detail, error=None):
+    """Print the one-line JSON contract.  Called multiple times as results
+    firm up; the driver takes the LAST parseable line, so each call
+    supersedes the previous (and a mid-run kill still leaves the most
+    recent state on stdout)."""
+    line = {
+        "metric": "inference_rtf_zipvoice123M_16step",
+        "value": None if value is None else round(value, 5),
+        "unit": "rtf",
+        "vs_baseline": (
+            None if value is None else round(TARGET_RTF / value, 2)
+        ),
+        "detail": detail,
+    }
+    if error is not None:
+        line["error"] = error
+    print(json.dumps(line), flush=True)
+
+
 def main():
+    """Outage-proof entry: probe the backend in a subprocess first, emit a
+    parseable JSON line no matter what happens, and always exit 0."""
+    import sys
+
+    state = {}  # mutated by _main_impl as measurements land
+    ok, probe_detail = _probe_backend(
+        budget=min(420.0, DEADLINE_SECONDS / 3)
+    )
+    if not ok:
+        _emit(None, {"probe": probe_detail, "last_known": LAST_KNOWN},
+              error="tpu_backend_unavailable")
+        sys.exit(0)
+    # heartbeat: a parseable line exists from here on even if the tunnel
+    # dies mid-run and the process is killed while hung on a dispatch
+    _emit(None, {"probe": probe_detail, "status": "backend up, measuring",
+                 "last_known": LAST_KNOWN}, error="incomplete")
+    try:
+        _main_impl(state)
+    except BaseException as e:  # noqa: BLE001 — must never fail open
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        detail = {
+            "partial": {k: v for k, v in state.items() if k != "rtf"},
+            "last_known": LAST_KNOWN,
+        }
+        _emit(state.get("rtf"), detail,
+              error=f"{type(e).__name__}: {str(e)[:300]}")
+        sys.exit(0)
+
+
+def _main_impl(state):
     import jax
 
     _T0 = time.monotonic()
@@ -369,6 +475,8 @@ def main():
     tm = float(np.min(times_model))
     tv = float(np.min(times_voc))
     rtf_split = (tm + tv) / wav_secs
+    state["rtf"] = rtf_split
+    state["rtf_split_pipeline"] = round(rtf_split, 5)
 
     # headline: the fused serving path — sampler + vocoder + PCM16 quantize
     # in ONE program, one dispatch and one int16 readback per request (what
@@ -398,6 +506,7 @@ def main():
         fused_secs = wav_f.shape[-1] / feat_cfg.sampling_rate
         rtf = float(np.min(times_fused)) / fused_secs
         fused_ran = True
+        state["rtf"] = rtf
 
 
     # provisional line first: if the harness kills this process during the
@@ -445,23 +554,30 @@ def main():
     bparams = jax.tree.map(lambda a: a.astype(dtype), params)
     if budget_ok("vocoder_on_chip"):
         voc_chip = float(f"{_vocoder_on_chip(feat_cfg, pipe.vocos_params, dtype):.2e}")
+        state["rtf_vocoder_on_chip"] = voc_chip
     if budget_ok("serving_b8"):
         batched_tp = round(_batched_throughput(cfg, bparams, batch=8), 1)
+        state["serving_b8_audio_sec_per_sec"] = batched_tp
     if budget_ok("serving_b16"):
         batched_tp16 = round(_batched_throughput(cfg, bparams, batch=16), 1)
+        state["serving_b16_audio_sec_per_sec"] = batched_tp16
     if budget_ok("bf16_fidelity"):
         bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
+        state["bf16_mel_mse_vs_f32"] = bf16_mse
     if budget_ok("train_throughput"):
         train_tp, train_step_time, (tb, tt) = _train_throughput(cfg)
         train_tp = round(train_tp, 2)
+        state["train_sec_audio_per_sec_per_chip"] = train_tp
     if budget_ok("distill_rtf"):
         distill_rtfs = _distill_rtf(
             feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
             num_steps=(8, 4, 2, 1), budget_ok=budget_ok,
         )
+        state["distill_rtfs"] = {k: round(v, 5) for k, v in distill_rtfs.items()}
     dialog_rtf = None
     if budget_ok("dialog_rtf"):
         dialog_rtf = round(_dialog_rtf(cfg, dtype), 5)
+        state["dialog_rtf_16step"] = dialog_rtf
 
     # --- analytic FLOPs / MFU (VERDICT r2 weak #4: roofline-stable progress
     # metric instead of tunnel-jittered wall clock).  Shapes are the PADDED
