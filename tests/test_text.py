@@ -532,3 +532,90 @@ def test_cpsim_per_track_prompt_rates():
     cp_sim_tracks(enc, [np.zeros(10), np.zeros(10)], 24000,
                   [np.zeros(10), np.zeros(10)], [24000, 16000])
     assert enc.seen[2:] == [24000, 16000]
+
+
+# ---------------------------------------------------------------------------
+# offline EN G2P fallback (text/en_g2p.py)
+# ---------------------------------------------------------------------------
+
+
+def test_en_fallback_tokens_within_espeak_inventory():
+    """Every token the offline fallback can emit must exist in the vendored
+    piper/espeak phoneme-id map — otherwise ids would KeyError against the
+    released tokens.txt."""
+    from zipvoice_tpu.text.en_g2p import LEXICON, RULES, fallback_phonemize
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+
+    # static inventories: lexicon chars + rule outputs
+    chars = set("".join(LEXICON.values()))
+    for rules in RULES.values():
+        for _, _, _, ph in rules:
+            chars |= set(ph)
+    chars.discard("̩")  # syllabic diacritic rides on the previous char
+    missing = {c for c in chars if c not in VENDORED_ESPEAK_MAP}
+    assert not missing, missing
+
+    # dynamic: a stress-test sentence through the full shaping
+    toks = fallback_phonemize(
+        "The 3 quixotic zebras jumped; weren't they extraordinary?"
+    )
+    bad = [t for t in toks if t not in VENDORED_ESPEAK_MAP]
+    assert not bad, bad
+
+
+def test_en_fallback_clause_shaping():
+    """Punctuation/space token semantics must match the piper stream shape
+    (same contract as the espeak-ng subprocess backend)."""
+    from zipvoice_tpu.text.en_g2p import fallback_phonemize
+
+    toks = fallback_phonemize("Hello world, this is a test.")
+    s = "".join(toks)
+    assert s == "həlˈoʊ wɜːld, ðɪs ɪz ɐ tɛst."
+    # clause punctuation appended right after its clause, space between words
+    assert toks.count(",") == 1 and toks.count(".") == 1
+    assert toks[-1] == "."
+
+
+def test_en_fallback_deterministic_and_oov():
+    from zipvoice_tpu.text.en_g2p import fallback_phonemize_clause
+
+    a = fallback_phonemize_clause("zipvoice synthesizes natural speech")
+    b = fallback_phonemize_clause("zipvoice synthesizes natural speech")
+    assert a == b
+    assert a  # OOV words still produce phonemes via the LTS rules
+    # magic-e and digraph rules (time is a lexicon hit, phone is LTS)
+    assert fallback_phonemize_clause("time") == "taɪm"
+    assert fallback_phonemize_clause("phone") == "fˈoʊn"
+    assert "ŋ" in fallback_phonemize_clause("sing")
+    assert "tʃ" in fallback_phonemize_clause("church")
+
+
+def test_espeak_phonemize_falls_back_for_en_only(monkeypatch):
+    """With no piper and no binary: EN routes to the offline fallback,
+    non-EN raises G2PUnavailableError; active_g2p_backend reports it."""
+    import shutil as _shutil
+
+    import zipvoice_tpu.text.tokenizer as tok_mod
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    assert tok_mod.active_g2p_backend("en-us") == "offline-fallback"
+    assert tok_mod.active_g2p_backend("de") == "none"
+    toks = tok_mod.espeak_phonemize("hello", "en-us")
+    assert "".join(toks) == "həlˈoʊ"
+    with pytest.raises(tok_mod.G2PUnavailableError):
+        tok_mod.espeak_phonemize("hallo", "de")
+
+
+def test_emilia_tokenizer_en_end_to_end(tmp_path):
+    """EmiliaTokenizer EN path end-to-end through the fallback: normalizer
+    (numbers expanded) -> G2P -> per-char token stream -> ids."""
+    from zipvoice_tpu.text.tokenizer import get_tokenizer, write_token_file
+    from zipvoice_tpu.text.espeak_map import VENDORED_ESPEAK_MAP
+
+    token_file = tmp_path / "tokens.txt"
+    write_token_file(dict(VENDORED_ESPEAK_MAP), str(token_file))
+    tok = get_tokenizer("emilia", str(token_file), lang="en-us")
+    toks = tok.texts_to_tokens(["Turn it up to 11."])[0]
+    assert "".join(toks) == "tɜːn ɪt ˈʌp tuː ɪlˈɛvən."
+    ids = tok.tokens_to_token_ids([toks])[0]
+    assert len(ids) == len(toks)

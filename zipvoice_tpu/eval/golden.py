@@ -32,10 +32,11 @@ import numpy as np
 
 SENTENCE_BATTERY: List[Dict] = [
     # EN (espeak G2P), ZH (pinyin), pinyin escapes, tags, mixed — the
-    # constructions of ref tokenizer.py:640-648's self-test string.  Entries
-    # whose every code path runs in this image (jieba + the vendored tone3
-    # table, no espeak binary needed) have goldens pinned in
-    # tests/fixtures/token_goldens.json; EN entries stay pending-backend.
+    # constructions of ref tokenizer.py:640-648's self-test string.  ALL
+    # entries have goldens pinned in tests/fixtures/token_goldens.json:
+    # ZH via jieba + the vendored tone3 table, EN via whichever G2P backend
+    # was active at pin time (recorded in the fixture's _provenance block —
+    # 'offline-fallback' = text/en_g2p.py, re-pin when espeak is available).
     {"lang": "en-us", "text": "Hello world, this is a test."},
     {"lang": "en-us", "text": "How are you doing today? I'm fine; thanks!"},
     {"lang": "zh", "text": "你好世界。"},
@@ -171,8 +172,20 @@ def check_tokenizer(
         default = (Path(__file__).resolve().parents[2] / "tests" / "fixtures"
                    / "token_goldens.json")
         fixture_path = str(default) if default.exists() else None
+    pinned_provenance = None
     if fixture_path and Path(fixture_path).exists():
-        goldens = json.loads(Path(fixture_path).read_text()).get(tok_name, {})
+        fixture = json.loads(Path(fixture_path).read_text())
+        goldens = fixture.get(tok_name, {})
+        pinned_provenance = fixture.get("_provenance", {}).get(tok_name)
+    # provenance: which G2P engine produced the EN goldens at pin time and
+    # which is active now — a mismatch means the pinned strings certify a
+    # DIFFERENT engine than the one running (VERDICT r3 next #5)
+    from zipvoice_tpu.text.tokenizer import active_g2p_backend
+
+    result["en_g2p_backend"] = active_g2p_backend("en-us")
+    result["en_g2p_pinned_with"] = (
+        pinned_provenance or {}
+    ).get("en_g2p_backend")
     produced = {}
     n_checked, n_pending, failed = 0, 0, []
     tok_cache: Dict[str, object] = {}
@@ -208,7 +221,23 @@ def check_tokenizer(
             n_checked += 1
             if list(g) != list(toks):
                 failed.append(item["text"])
-    if failed:
+    en_langs = ("en-us", "mixed")
+    lang_of = {item["text"]: item["lang"] for item in battery}
+    only_en_failed = failed and all(
+        lang_of.get(t) in en_langs for t in failed
+    )
+    if only_en_failed and result["en_g2p_pinned_with"] not in (
+        None, result["en_g2p_backend"]
+    ):
+        # a different G2P engine than the pin-time one is active (e.g. real
+        # espeak appeared after fallback-pinning): EN strings legitimately
+        # differ — demand a re-pin instead of reading as a regression
+        battery_status = (
+            f"gated: goldens pinned with {result['en_g2p_pinned_with']} but "
+            f"active G2P is {result['en_g2p_backend']}; re-pin via "
+            "tools/pin_token_goldens.py"
+        )
+    elif failed:
         battery_status = "fail"
     elif n_checked == 0:
         battery_status = "gated: 0 of %d battery entries checked" % len(battery)

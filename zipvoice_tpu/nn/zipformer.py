@@ -56,8 +56,13 @@ _FUSED_APPLY: bool = True
 
 
 def set_fused_apply(enabled: bool):
+    """Trace-time binding: the flag is not part of any jit cache key, so a
+    toggle clears the jit caches to force retraces (test/tool toggle only —
+    see ops/attention.set_shear_mode)."""
     global _FUSED_APPLY
-    _FUSED_APPLY = enabled
+    if enabled != _FUSED_APPLY:
+        _FUSED_APPLY = enabled
+        jax.clear_caches()
 
 # lax.scan over a stack's layers (identical structure): one layer trace per
 # stack instead of num_layers -> much faster compiles, identical numerics.
@@ -65,8 +70,11 @@ _SCAN_LAYERS: bool = True
 
 
 def set_scan_layers(enabled: bool):
+    """Trace-time binding; clears jit caches on change (see set_fused_apply)."""
     global _SCAN_LAYERS
-    _SCAN_LAYERS = enabled
+    if enabled != _SCAN_LAYERS:
+        _SCAN_LAYERS = enabled
+        jax.clear_caches()
 
 
 _REMAT_POLICY: Optional[str] = None
@@ -710,6 +718,9 @@ def _encoder_layer(
             )
         )
         attn_weights = _FusedAttn(q, k, pq, pe, key_padding_mask, pen, probs)
+        # diagnostic taps (inf_check / find_nonfinite) must keep attention-
+        # probability coverage in the default fused training path (ADVICE r3)
+        _tap("self_attn_weights", probs)
     else:
         attn_weights = _attention_weights(
             p["self_attn_weights"], cfg, src, pos_emb, key_padding_mask, ctx

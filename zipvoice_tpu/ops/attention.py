@@ -42,10 +42,17 @@ _SHEAR_MODE = "roll"
 
 
 def set_shear_mode(mode: str) -> None:
-    """'roll' (default) or 'binary' — see _shear/_tile_unshear."""
+    """'roll' (default) or 'binary' — see _shear/_tile_unshear.
+
+    The mode is bound at TRACE time (it is not part of any jit cache key),
+    so already-compiled programs would keep serving the old mode; clear the
+    jit caches so the next call retraces.  The setter is a test/tool toggle,
+    never a hot-path call, so the global cache clear is acceptable."""
     global _SHEAR_MODE
     assert mode in ("roll", "binary"), mode
-    _SHEAR_MODE = mode
+    if mode != _SHEAR_MODE:
+        _SHEAR_MODE = mode
+        jax.clear_caches()
 
 
 def _effective_shear(interpret: bool) -> str:

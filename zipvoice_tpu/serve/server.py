@@ -363,10 +363,9 @@ class TTSServer:
                 with server._stream_lock:
                     server.stream_stats["streams"] += 1
                     server.stream_stats["streams_active"] += 1
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
+                # header writes live INSIDE the try/finally below: a client
+                # that disconnects immediately raises here, and the active
+                # counter must still be decremented (ADVICE r3)
 
                 def emit(data: bytes):
                     if not data:
@@ -379,6 +378,10 @@ class TTSServer:
 
                 samples = 0
                 try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
                     emit(wav_stream_header(sr))
                     for seg in server.pipeline.synthesize_stream(
                         text=req.text, prompt_text=req.prompt_text,

@@ -85,12 +85,35 @@ def _espeak_binary_phonemize(exe: str, text: str, lang: str) -> List[str]:
     return shape_espeak_clauses(ipas, puncts)
 
 
+def active_g2p_backend(lang: str = "en-us") -> str:
+    """Which G2P backend espeak_phonemize would use for ``lang``:
+    'piper', 'espeak-ng', 'offline-fallback' (EN only), or 'none'.
+    Exposed so golden pinning can record the provenance of EN goldens
+    produced by the vendored fallback (VERDICT r3 next #5)."""
+    try:
+        import piper_phonemize  # type: ignore  # noqa: F401
+
+        return "piper"
+    except ImportError:
+        pass
+    if shutil.which("espeak-ng") or shutil.which("espeak"):
+        return "espeak-ng"
+    if lang.lower().startswith("en"):
+        return "offline-fallback"
+    return "none"
+
+
 def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
     """IPA phonemization via piper_phonemize or the espeak-ng binary.
 
     Both backends run the same espeak engine; the subprocess path reshapes
     espeak's plain --ipa output into piper's per-char token stream
     (punctuation/space tokens included) so token ids match either way.
+
+    When NEITHER is installed, English falls back to the vendored offline
+    lexicon+rules G2P (text/en_g2p.py) — same token inventory and stream
+    shape, different engine; callers that pin goldens must record the
+    provenance via active_g2p_backend().  Non-EN languages still raise.
     """
     try:
         from piper_phonemize import phonemize_espeak  # type: ignore
@@ -102,8 +125,13 @@ def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
     exe = shutil.which("espeak-ng") or shutil.which("espeak")
     if exe is not None:
         return _espeak_binary_phonemize(exe, text, lang)
+    if lang.lower().startswith("en"):
+        from zipvoice_tpu.text.en_g2p import fallback_phonemize
+
+        return fallback_phonemize(text)
     raise G2PUnavailableError(
         "No espeak G2P backend: install piper_phonemize or espeak-ng"
+        f" (offline fallback covers EN only, not {lang!r})"
     )
 
 

@@ -22,19 +22,35 @@ import threading
 from collections import OrderedDict
 
 
+class _Pending:
+    """In-flight build marker: waiters block on ``event`` while exactly one
+    caller runs the builder."""
+
+    __slots__ = ("event", "value", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.value = None
+        self.error = None
+
+
 def instance_cache(fn=None, *, maxsize: int = 32):
     """Decorator: memoize on ``self._memo_<name>`` (bounded LRU).
 
     Thread-safe: concurrent HTTP handler threads (the streaming endpoint)
-    and the batch dispatcher share these builders.  The build itself runs
-    under the lock — two first-callers with the same shapes must NOT both
-    compile the same multi-minute TPU program, and an unlocked LRU eviction
-    racing a hit would KeyError."""
+    and the batch dispatcher share these builders.  Same-key dedup uses an
+    in-progress futures map — two first-callers with the same shapes must
+    NOT both compile the same multi-minute TPU program — while callers with
+    DIFFERENT keys (e.g. two stream requests needing different shapes) build
+    concurrently; only the memo bookkeeping itself runs under the instance
+    lock (ADVICE r3: a single build-wide lock serialized distinct-key
+    compiles)."""
 
     def deco(f):
         sig = inspect.signature(f)
         attr = f"_memo_{f.__name__}"
         lock_attr = attr + "_lock"
+        futures_attr = attr + "_futures"
 
         @functools.wraps(f)
         def wrapper(self, *args, **kwargs):
@@ -48,11 +64,32 @@ def instance_cache(fn=None, *, maxsize: int = 32):
                 if key in memo:
                     memo.move_to_end(key)
                     return memo[key]
+                futures = self.__dict__.setdefault(futures_attr, {})
+                pending = futures.get(key)
+                owner = pending is None
+                if owner:
+                    pending = futures[key] = _Pending()
+            if not owner:
+                pending.event.wait()
+                if pending.error is not None:
+                    raise pending.error
+                return pending.value
+            try:
                 value = f(self, *args, **kwargs)
+            except BaseException as e:
+                with lock:
+                    futures.pop(key, None)
+                pending.error = e
+                pending.event.set()
+                raise
+            pending.value = value
+            with lock:
                 memo[key] = value
                 if len(memo) > maxsize:
                     memo.popitem(last=False)
-                return value
+                futures.pop(key, None)
+            pending.event.set()
+            return value
 
         wrapper._memo_attr = attr
         return wrapper
