@@ -243,11 +243,16 @@ def _vocoder_on_chip(feat_cfg, vocos_params, dtype, n: int = 50) -> float:
     return per / ((t - 1) * feat_cfg.hop_length / feat_cfg.sampling_rate)
 
 
-def _bf16_fidelity(cfg, feat_cfg) -> float:
+def _bf16_fidelity(cfg, feat_cfg):
     """Mel MSE of the bf16 jitted sampler vs the f32 sampler on the SAME
     weights and noise — the fidelity cost of the deployment dtype on this
-    hardware.  (Checkpoint-vs-torch parity incl. a bf16 budget lives in
+    hardware — measured twice: plain bf16 and bf16 + f32_closers (f32
+    time-embed MLP / out_proj / Euler state, the docs/parity.md headroom
+    plan).  Returns (mse_bf16, mse_bf16_f32_closers).
+    (Checkpoint-vs-torch parity incl. a bf16 budget lives in
     eval/parity.py; this on-device number needs no torch reference.)"""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -266,17 +271,22 @@ def _bf16_fidelity(cfg, feat_cfg) -> float:
     noise = rng.standard_normal((1, total, f)).astype(np.float32)
     params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
 
-    def run(dtype):
+    def run(dtype, run_cfg):
         p = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
         out = zv.sample(
-            p, cfg, tokens_padded, np.array([len(cat)], np.int32),
+            p, run_cfg, tokens_padded, np.array([len(cat)], np.int32),
             jnp.asarray(pf, dtype), np.array([prompt_len], np.int32),
             np.array([total], np.int32), jnp.asarray(noise, dtype),
             num_step=NUM_STEP, guidance_scale=GUIDANCE, t_shift=0.5,
         )
         return np.asarray(out.astype(jnp.float32))[0]
 
-    return mel_mse(run(jnp.bfloat16), run(jnp.float32))
+    ref32 = run(jnp.float32, cfg)
+    cfg_closers = dataclasses.replace(cfg, f32_closers=True)
+    return (
+        mel_mse(run(jnp.bfloat16, cfg), ref32),
+        mel_mse(run(jnp.bfloat16, cfg_closers), ref32),
+    )
 
 
 # Last driver-captured numbers + the builder-side round-3 measurements, used
@@ -561,9 +571,13 @@ def _main_impl(state):
     if budget_ok("serving_b16"):
         batched_tp16 = round(_batched_throughput(cfg, bparams, batch=16), 1)
         state["serving_b16_audio_sec_per_sec"] = batched_tp16
+    bf16_mse_closers = None
     if budget_ok("bf16_fidelity"):
-        bf16_mse = float(f"{_bf16_fidelity(cfg, feat_cfg):.3e}")
+        mse_plain, mse_closers = _bf16_fidelity(cfg, feat_cfg)
+        bf16_mse = float(f"{mse_plain:.3e}")
+        bf16_mse_closers = float(f"{mse_closers:.3e}")
         state["bf16_mel_mse_vs_f32"] = bf16_mse
+        state["bf16_mel_mse_f32_closers"] = bf16_mse_closers
     if budget_ok("train_throughput"):
         train_tp, train_step_time, (tb, tt) = _train_throughput(cfg)
         train_tp = round(train_tp, 2)
@@ -637,6 +651,7 @@ def _main_impl(state):
             "dialog_rtf_16step": dialog_rtf,
             "train_sec_audio_per_sec_per_chip": train_tp,
             "bf16_mel_mse_vs_f32": bf16_mse,
+            "bf16_mel_mse_f32_closers": bf16_mse_closers,
             "model_tflops_per_request": round(fused_flops / 1e12, 3),
             "mfu_infer_fused": round(infer_mfu, 4),
             "mfu_infer_on_chip_est": (

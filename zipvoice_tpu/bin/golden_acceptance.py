@@ -33,6 +33,65 @@ DEFAULT_FIXTURE = str(
 )
 
 
+def _dry_run(names, dirs, args) -> int:
+    """Rehearse the acceptance without weights (VERDICT r3 next #7): verify
+    every file the real run would read, report exactly what's missing, and
+    print the mechanical invocation for when weights are staged."""
+    from zipvoice_tpu.io.model_dir import HF_REPO
+
+    report = {"mode": "dry-run", "models": {}}
+    ok = True
+    for name, d in zip(names, dirs):
+        entry = {"files": {}}
+        if d is None:
+            sub = MODEL_REGISTRY[name]["hf_dir"]
+            entry["source"] = f"hf://{HF_REPO}/{sub}/" + "{model.pt,model.json,tokens.txt}"
+            try:
+                import huggingface_hub  # noqa: F401
+
+                entry["hf_hub"] = "importable"
+            except ImportError:
+                entry["hf_hub"] = "MISSING (pass --model-dirs or install)"
+                ok = False
+        else:
+            entry["source"] = str(Path(d).resolve())
+            for f in ("model.json", "tokens.txt"):
+                entry["files"][f] = (
+                    "ok" if (Path(d) / f).exists() else "MISSING"
+                )
+            have_ckpt = any(
+                (Path(d) / c).exists()
+                for c in ("model.pt", "model.safetensors")
+            )
+            entry["files"]["model.pt|model.safetensors"] = (
+                "ok" if have_ckpt else "MISSING"
+            )
+            ok = ok and all(v == "ok" for v in entry["files"].values())
+        report["models"][name] = entry
+    report["fixture"] = (
+        "ok" if Path(args.fixture).exists() else f"MISSING: {args.fixture}"
+    )
+    report["reference"] = (
+        "ok" if Path(args.reference_path).exists()
+        else f"absent: {args.reference_path} (parity will report gated)"
+    )
+    ok = ok and Path(args.fixture).exists()
+    dirs_arg = (
+        " --model-dirs " + ",".join(str(d) for d in dirs)
+        if any(d is not None for d in dirs) else ""
+    )
+    report["invocation"] = (
+        f"python -m zipvoice_tpu.bin.golden_acceptance"
+        f" --models {','.join(names)}{dirs_arg}"
+        f" --reference-path {args.reference_path}"
+        f" --seconds {args.seconds} --output {args.output}"
+    )
+    report["expected_output_schema"] = "docs/parity.md#goldenjson-schema"
+    report["status"] = "ready" if ok else "not-ready"
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--models", type=str, default="all",
@@ -45,6 +104,10 @@ def main():
     p.add_argument("--fixture", type=str, default=DEFAULT_FIXTURE,
                    help="golden token-id fixture (json)")
     p.add_argument("--output", type=str, default="GOLDEN.json")
+    p.add_argument("--dry-run", action="store_true",
+                   help="verify the file manifest the real run would read "
+                        "and print the exact invocation, without loading "
+                        "weights or computing parity")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
@@ -55,6 +118,9 @@ def main():
     dirs = args.model_dirs.split(",") if args.model_dirs else [None] * len(names)
     if len(dirs) != len(names):
         p.error("--model-dirs must align with --models")
+
+    if args.dry_run:
+        sys.exit(_dry_run(names, dirs, args))
 
     reports = []
     for name, d in zip(names, dirs):

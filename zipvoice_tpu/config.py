@@ -47,6 +47,10 @@ class ZipformerConfig:
     use_guidance_scale_embed: bool = False
     guidance_scale_embed_dim: int = 192
     use_conv: bool = True
+    # bf16-fidelity headroom (docs/parity.md decision tree): keep the
+    # numerically-dominant closers — the time-embed MLP and the final
+    # out_proj — in f32 while the bulk of the backbone runs in bf16.
+    f32_closers: bool = False
 
     def __post_init__(self):
         ds = self.downsampling_factor
@@ -100,6 +104,9 @@ class ZipVoiceConfig:
     # Variant switches (not in reference base config json):
     use_guidance_scale_embed: bool = False  # ZipVoice-Distill
     guidance_scale_embed_dim: int = 192
+    # bf16 mel-fidelity headroom: f32 time-embed MLP + final out_proj in the
+    # fm_decoder, and an f32 Euler/CFG state in the sampler (docs/parity.md)
+    f32_closers: bool = False
 
     def fm_decoder_config(self) -> ZipformerConfig:
         """fm_decoder takes [x_t, text_cond, speech_cond] concat (ref zipvoice.py:95-110)."""
@@ -120,6 +127,7 @@ class ZipVoiceConfig:
             time_embed_dim=self.time_embed_dim,
             use_guidance_scale_embed=self.use_guidance_scale_embed,
             guidance_scale_embed_dim=self.guidance_scale_embed_dim,
+            f32_closers=self.f32_closers,
         )
 
     def text_encoder_config(self) -> ZipformerConfig:

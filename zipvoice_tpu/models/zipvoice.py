@@ -85,7 +85,12 @@ def forward_fm_decoder(
     xt, text_condition, speech_condition: (B, T, F).
     ctx: optional nn.zipformer.TrainCtx enabling training-time stochastics.
     """
-    x = jnp.concatenate([xt, text_condition, speech_condition], axis=-1)
+    # xt may ride in f32 when cfg.f32_closers keeps the Euler state in f32;
+    # the backbone bulk still runs at the conditions' compute dtype
+    x = jnp.concatenate(
+        [xt.astype(text_condition.dtype), text_condition, speech_condition],
+        axis=-1,
+    )
     b = x.shape[0]
     # t stays float32: the sinusoidal embedding needs full timestep precision
     # even under bf16 compute (embedding output is cast to x.dtype after).

@@ -991,16 +991,20 @@ def tts_zipformer_forward(
     h = linear(in_proj, x)
 
     if t is not None:
-        time_emb = timestep_embedding(t, cfg.time_embed_dim).astype(x.dtype)
+        # f32_closers: run the whole time-embed MLP in f32 (it seeds every
+        # layer's additive conditioning — docs/parity.md headroom plan);
+        # default path casts the sinusoid to compute dtype before the MLP.
+        emb_dtype = jnp.float32 if cfg.f32_closers else x.dtype
+        time_emb = timestep_embedding(t, cfg.time_embed_dim).astype(emb_dtype)
         if guidance_scale is not None:
             gs_emb = timestep_embedding(
                 guidance_scale, cfg.guidance_scale_embed_dim
-            ).astype(x.dtype)
+            ).astype(emb_dtype)
             time_emb = time_emb + linear(p["guidance_scale_embed"], gs_emb)
         # Sequential(Linear, SwooshR, Linear) (ref zipformer.py:224-228)
         time_emb = linear(
             p["time_embed"]["2"], swoosh_r(linear(p["time_embed"]["0"], time_emb))
-        )
+        ).astype(x.dtype)
     else:
         time_emb = None
 
@@ -1015,4 +1019,8 @@ def tts_zipformer_forward(
                 sp, cfg, i, h, time_emb, padding_mask, ctx
             )
 
+    if cfg.f32_closers:
+        # f32 closer: the velocity head's output feeds the cancellation-
+        # sensitive CFG combination and the Euler state accumulation
+        return linear(out_proj, h.astype(jnp.float32))
     return linear(out_proj, h)

@@ -147,6 +147,14 @@ def euler_sample(
     dts = jnp.asarray(ts[1:] - ts[:-1], jnp.float32)
     drop_speech = jnp.asarray(ts[:-1] > 0.5)
 
+    out_dtype = x.dtype
+    if cfg.f32_closers:
+        # f32 Euler state + f32 CFG combination (the fm_decoder's out_proj
+        # also emits f32 under this flag): the accumulated x and the
+        # cancellation-prone (1+gs)·cond − gs·uncond keep full precision
+        # while the backbone bulk stays at the conditions' compute dtype
+        x = x.astype(jnp.float32)
+
     def integrate(xc, v, dt):
         return xc + (v * dt.astype(v.dtype))
 
@@ -195,4 +203,4 @@ def euler_sample(
             return integrate(xc, v, dt), None
 
     x, _ = jax.lax.scan(body, x, (t_steps, dts, drop_speech))
-    return x
+    return x.astype(out_dtype)
