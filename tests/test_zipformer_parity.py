@@ -195,3 +195,63 @@ def test_scan_vs_unrolled_layers_and_remat_policy():
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_named_remat_policies_match_full_remat():
+    """'xprobs' / 'xprobs_ff' (save-everything-except-named-tensors, the
+    training-MFU policies — see zipformer.set_remat_policy) must produce
+    identical loss and gradients to the default full-remat scan on the REAL
+    training path (compute_fm_loss with live TrainCtx regularizers: same RNG
+    splits, so results are bitwise-comparable up to reduction order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.models import zipvoice as zv
+    from zipvoice_tpu.nn import zipformer as zf
+    from zipvoice_tpu.train.schedules import zipvoice_schedules
+
+    from tests.test_variants import TINY
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=30, pad_id=0)
+    params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
+    sched = zipvoice_schedules(10000.0, cfg)
+    rng = np.random.default_rng(7)
+    b, t_frames, f = 2, 24, TINY["feat_dim"]
+    tokens = zv.pad_labels([[3, 4, 5], [6, 7]], 0)
+    tokens_lens = np.array([3, 2])
+    feats = rng.standard_normal((b, t_frames, f)).astype(np.float32)
+    feats_lens = np.array([24, 16])
+    noise = rng.standard_normal((b, t_frames, f)).astype(np.float32)
+    tt = np.full((b, 1, 1), 0.4, np.float32)
+
+    def loss_fn(p):
+        return zv.compute_fm_loss(
+            p, cfg, tokens, tokens_lens, feats, feats_lens, noise, tt,
+            jax.random.PRNGKey(3), condition_drop_ratio=0.2,
+            schedules=sched,
+        )
+
+    def run():
+        l, g = jax.value_and_grad(loss_fn)(params)
+        return float(l), g
+
+    results = {}
+    try:
+        zf.set_scan_layers(True)
+        for pol in (None, "all", "xprobs", "xprobs_ff"):
+            zf.set_remat_policy(pol)
+            results[pol] = run()
+    finally:
+        zf.set_remat_policy(None)
+
+    l0, g0 = results[None]
+    for pol in ("all", "xprobs", "xprobs_ff"):
+        l, g = results[pol]
+        np.testing.assert_allclose(l, l0, rtol=1e-6, err_msg=str(pol))
+        for a, b_ in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=2e-4, atol=1e-5,
+                err_msg=str(pol),
+            )

@@ -25,6 +25,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from zipvoice_tpu.config import ZipformerConfig
 from zipvoice_tpu.nn.functional import (
@@ -81,20 +82,37 @@ _REMAT_POLICY: Optional[str] = None
 
 
 def set_remat_policy(name: Optional[str]):
-    """Rematerialization policy for the scanned layer blocks: None (save
-    nothing, recompute everything — minimum memory), 'all' (no remat: save
-    every residual) or 'dots' (save matmul outputs, recompute elementwise).
+    """Rematerialization policy for the scanned layer blocks:
 
-    Measured on v5e at 123M/B=8/T=1024 with the flash attention backward
-    (r3): None 157.9 ms, 'all' 159.8, 'dots' 164.5 — with the backward's
-    recompute already cheap, saving residuals only adds HBM traffic, so
-    None stays the default at strictly less memory.  (r2, probs-path
-    numbers for history: 'dots' was ~20% slower than None.)"""
+    * None — full remat: save nothing, recompute the whole layer forward in
+      the backward (minimum memory).
+    * 'all' — no remat: the scan saves EVERY intermediate, including each
+      layer's (B, H, T, T) attention probabilities (64 MB/ds1-layer at
+      B=8/T=1024) — the probs HBM traffic is why this measured ~even with
+      full remat in r3 (None 157.9 ms vs 'all' 159.8 at 123M/B=8/T=1024).
+    * 'dots' — save matmul outputs, recompute elementwise (164.5 ms r3:
+      also drowns in big-tensor traffic).
+    * 'xprobs' — save everything EXCEPT the named 'attn_probs' tensor: the
+      backward skips the layer-forward recompute but the one
+      quadratic-sized intermediate is recomputed by the flash consumer
+      kernels (which never read it from HBM in the backward anyway).
+    * 'xprobs_ff' — additionally recompute the feedforward hidden
+      activations ('ff_hidden', (B, T, ff_dim)), conv GLU mids
+      ('conv_mid') and nonlin-attention mids ('nonlin_mid'): the
+      next-largest tensors, each one cheap GEMM (+elementwise) to rebuild.
+
+    Measured via tools/profile_train.py (PROFILE_train_r4.json).
+    """
     global _REMAT_POLICY
-    _REMAT_POLICY = name
+    assert name in (None, "all", "dots", "xprobs", "xprobs_ff"), name
+    if name != _REMAT_POLICY:
+        _REMAT_POLICY = name
+        jax.clear_caches()
 
 
 def _layer_checkpoint(fn):
+    from jax.ad_checkpoint import checkpoint_policies as cp
+
     if _REMAT_POLICY == "all":
         # save every residual (no remat): trades HBM for skipping the
         # backward's full layer-forward recompute — only viable when the
@@ -102,8 +120,17 @@ def _layer_checkpoint(fn):
         # optimizer state (measure before enabling)
         return fn
     if _REMAT_POLICY == "dots":
+        return jax.checkpoint(fn, policy=cp.dots_saveable)
+    if _REMAT_POLICY == "xprobs":
         return jax.checkpoint(
-            fn, policy=jax.checkpoint_policies.dots_saveable
+            fn, policy=cp.save_anything_except_these_names("attn_probs")
+        )
+    if _REMAT_POLICY == "xprobs_ff":
+        return jax.checkpoint(
+            fn,
+            policy=cp.save_anything_except_these_names(
+                "attn_probs", "ff_hidden", "conv_mid", "nonlin_mid"
+            ),
         )
     return jax.checkpoint(fn)
 
@@ -502,9 +529,12 @@ def _attention_weights(
 
         # probs in compute dtype: every consumer casts to x.dtype anyway
         # (softmax itself stays f32 inside the kernel)
-        return rel_attention_probs_any(
-            q, k, pq, pe, key_padding_mask, out_dtype=x.dtype,
-            score_penalty=pen, penalty_limit=25.0,
+        return checkpoint_name(
+            rel_attention_probs_any(
+                q, k, pq, pe, key_padding_mask, out_dtype=x.dtype,
+                score_penalty=pen, penalty_limit=25.0,
+            ),
+            "attn_probs",
         )
 
     attn_scores = jnp.einsum(
@@ -522,7 +552,9 @@ def _attention_weights(
             attn_scores, pen > 0, limit=25.0, penalty=1.0e-04
         )
 
-    return masked_softmax(attn_scores, key_padding_mask)
+    return checkpoint_name(
+        masked_softmax(attn_scores, key_padding_mask), "attn_probs"
+    )
 
 
 def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
@@ -564,7 +596,7 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
     const-attention gate (fused path only; the probs path applies the const
     branch before calling, see _encoder_layer).
     """
-    proj = linear(p["in_proj"], x)
+    proj = checkpoint_name(linear(p["in_proj"], x), "nonlin_mid")
     s, v, y = jnp.split(proj, 3, axis=-1)
     if ctx is not None:
         s = _maybe_balancer(
@@ -574,7 +606,7 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
             min_abs=0.5, max_abs=5.0,
         )
     v = _maybe_whiten(ctx, v, "whiten_5", 0.01)
-    v = v * jnp.tanh(s)
+    v = checkpoint_name(v * jnp.tanh(s), "nonlin_mid")
     if isinstance(attn_head0, _FusedAttn):
         from zipvoice_tpu.ops.attention import rel_attention_consume
 
@@ -600,7 +632,7 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
             "bts,bsc->btc", attn_head0.astype(x.dtype), v,
             preferred_element_type=x.dtype,
         )
-    out = linear(p["out_proj"], v * y)
+    out = linear(p["out_proj"], checkpoint_name(v * y, "nonlin_mid"))
     return _maybe_whiten(ctx, out, "whiten_5x3", 0.01)
 
 
@@ -615,7 +647,7 @@ def _conv_module(p: Params, x: jax.Array,
     shift-and-fma formulation on TPU (measured r3 at B=2,T=1024,K=31:
     24.5 vs 35.3 us).
     """
-    proj = linear(p["in_proj"], x)
+    proj = checkpoint_name(linear(p["in_proj"], x), "conv_mid")
     v, s = jnp.split(proj, 2, axis=-1)
     if ctx is not None:
         s = _maybe_balancer(
@@ -623,9 +655,11 @@ def _conv_module(p: Params, x: jax.Array,
             min_positive=ctx.s["conv_balancer1_min_pos"], max_positive=1.0,
             min_abs=1.5, max_abs=ctx.s["conv_balancer1_max_abs"],
         )
-    v = v * jax.nn.sigmoid(s)
+    v = checkpoint_name(v * jax.nn.sigmoid(s), "conv_mid")
     if key_padding_mask is not None:
-        v = jnp.where(key_padding_mask[:, :, None], 0.0, v)
+        v = checkpoint_name(
+            jnp.where(key_padding_mask[:, :, None], 0.0, v), "conv_mid"
+        )
 
     w = p["depthwise_conv"]["weight"].astype(x.dtype)  # (K, C)
     kernel = w.shape[0]
@@ -635,7 +669,9 @@ def _conv_module(p: Params, x: jax.Array,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=v.shape[-1],
     )
-    out = out + p["depthwise_conv"]["bias"].astype(x.dtype)
+    out = checkpoint_name(
+        out + p["depthwise_conv"]["bias"].astype(x.dtype), "conv_mid"
+    )
     if ctx is not None:
         out = _maybe_balancer(
             ctx, out, ctx.s["balancer_prob"],
@@ -643,7 +679,7 @@ def _conv_module(p: Params, x: jax.Array,
             min_abs=ctx.s["conv_balancer2_min_abs"], max_abs=10.0,
         )
     out = _maybe_whiten(ctx, out, "whiten_7_5", 0.01)
-    return linear(p["out_proj"], swoosh_r(out))
+    return linear(p["out_proj"], checkpoint_name(swoosh_r(out), "conv_mid"))
 
 
 def _feedforward(p: Params, x: jax.Array,
@@ -651,16 +687,20 @@ def _feedforward(p: Params, x: jax.Array,
     """FeedforwardModule forward: Linear -> [balancer] -> SwooshL ->
     [dropout shared over time] -> Linear -> [whiten]
     (ref zipformer.py:1399-1439)."""
-    h = linear(p["in_proj"], x)
+    h = checkpoint_name(linear(p["in_proj"], x), "ff_hidden")
     if ctx is not None:
         h = _maybe_balancer(ctx, h, ctx.s["balancer_prob"],
                             min_positive=0.3, max_positive=1.0,
                             min_abs=0.75, max_abs=5.0)
-    h = swoosh_l(h)
+        h = checkpoint_name(h, "ff_hidden")
+    h = checkpoint_name(swoosh_l(h), "ff_hidden")
     if ctx is not None:
         from zipvoice_tpu.nn.regularizers import dropout_shared
 
-        h = dropout_shared(h, ctx.next_key(), ctx.s["dropout"], shared_dim=1)
+        h = checkpoint_name(
+            dropout_shared(h, ctx.next_key(), ctx.s["dropout"], shared_dim=1),
+            "ff_hidden",
+        )
     out = linear(p["out_proj"], h)
     return _maybe_whiten(ctx, out, "whiten_7_5", 0.01)
 
@@ -712,10 +752,13 @@ def _encoder_layer(
         # probs once per layer (kernel), shared by all three consumers in
         # the forward; stop_gradient — every score gradient flows through
         # the consumers' flash backward instead
-        probs = jax.lax.stop_gradient(
-            rel_attention_probs_any(
-                q, k, pq, pe, key_padding_mask, out_dtype=src.dtype
-            )
+        probs = checkpoint_name(
+            jax.lax.stop_gradient(
+                rel_attention_probs_any(
+                    q, k, pq, pe, key_padding_mask, out_dtype=src.dtype
+                )
+            ),
+            "attn_probs",
         )
         attn_weights = _FusedAttn(q, k, pq, pe, key_padding_mask, pen, probs)
         # diagnostic taps (inf_check / find_nonfinite) must keep attention-
