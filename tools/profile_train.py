@@ -1,17 +1,22 @@
-"""On-device breakdown of the 123M training step (B=8, T=1024, bf16).
+"""On-device breakdown of the 123M training step (default B=8, T=1024, bf16).
 
-Times, as separate jitted programs (scan-of-remat layers, regularizers
+Times, as separate jitted programs (scan layers, regularizers
 live — the exact bench._train_throughput configuration):
   1. loss forward only
   2. loss forward + backward (value_and_grad)
   3. full step (fwd + bwd + ScaledAdam update)  [the bench number]
   4. ScaledAdam update alone on fixed gradients
-so the step budget splits into fwd / bwd / optimizer, and the scan-of-remat
-recompute cost is visible as (2) vs 3x(1).  Writes PROFILE_train_r3.json.
+so the step budget splits into fwd / bwd / optimizer, and the remat
+recompute cost is visible as (2) vs 3x(1).
+
+--remat {full,all,dots,xprobs,xprobs_ff} selects the rematerialization
+policy (nn.zipformer.set_remat_policy) for the A/B demanded by the r3
+verdict; --batch/--frames pick the shape; --out the artifact path.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -22,6 +27,15 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remat", type=str, default="full",
+                    choices=["full", "all", "dots", "xprobs", "xprobs_ff"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--out", type=str,
+                    default="/root/repo/PROFILE_train_r4.json")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
@@ -31,17 +45,18 @@ def main():
 
     from zipvoice_tpu.config import ZipVoiceConfig
     from zipvoice_tpu.models.zipvoice import compute_fm_loss, init_zipvoice
-    from zipvoice_tpu.nn.zipformer import set_scan_layers
+    from zipvoice_tpu.nn.zipformer import set_remat_policy, set_scan_layers
     from zipvoice_tpu.train.scaled_adam import apply_updates, scaled_adam
     from zipvoice_tpu.train.schedules import zipvoice_schedules
     from zipvoice_tpu.train.step import TrainConfig, make_train_step
     from zipvoice_tpu.utils.flops import peak_bf16_tflops, train_step_flops
 
     set_scan_layers(True)
+    set_remat_policy(None if args.remat == "full" else args.remat)
 
     cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
     rng = np.random.default_rng(0)
-    b, t = 8, 1024
+    b, t = args.batch, args.frames
     batch = {
         "tokens": rng.integers(1, cfg.vocab_size, (b, 128)).astype(np.int32),
         "tokens_lens": np.full((b,), 100, np.int32),
@@ -136,9 +151,12 @@ def main():
         "mfu_full_step": round(flops / s_full / 1e12 / peak, 4),
         "mfu_fwd_only": round((flops / 3) / s_fwd / 1e12 / peak, 4),
         "device": jax.devices()[0].device_kind,
+        "remat_policy": args.remat,
+        "batch": b,
+        "frames": t,
     }
     print(json.dumps(results["_summary"], indent=2), flush=True)
-    with open("/root/repo/PROFILE_train_r3.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
 

@@ -12,6 +12,15 @@ UNROLL_LAYERS_HELP = (
     "production runs"
 )
 
+REMAT_POLICY_HELP = (
+    "activation rematerialization policy for the backward pass (see "
+    "nn.zipformer.set_remat_policy); 'full' = recompute everything "
+    "(minimum memory, the default), 'xprobs' = save all layer activations "
+    "except the quadratic attention probabilities, 'xprobs_ff' = "
+    "additionally recompute ff/conv/nonlin hidden activations (middle "
+    "ground when HBM is tight)"
+)
+
 
 def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
     p.add_argument("--train-manifest", type=str, required=True)
@@ -49,6 +58,9 @@ def add_common_args(p: argparse.ArgumentParser, base_lr: float = 0.02):
                         "(mesh then spans all hosts; batches shard per host)")
     p.add_argument("--unroll-layers", action="store_true",
                    help=UNROLL_LAYERS_HELP)
+    p.add_argument("--remat-policy", type=str, default=None,
+                   choices=["full", "all", "dots", "xprobs", "xprobs_ff"],
+                   help=REMAT_POLICY_HELP)
     return p
 
 
@@ -60,6 +72,12 @@ def maybe_init_distributed(args):
         from zipvoice_tpu.nn.zipformer import set_scan_layers
 
         set_scan_layers(False)
+    if getattr(args, "remat_policy", None):
+        from zipvoice_tpu.nn.zipformer import set_remat_policy
+
+        set_remat_policy(
+            None if args.remat_policy == "full" else args.remat_policy
+        )
     if getattr(args, "distributed", False):
         import jax
 

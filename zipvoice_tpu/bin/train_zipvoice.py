@@ -72,10 +72,16 @@ def get_parser():
                    help="disable training-time stochastic regularizers")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
-    from zipvoice_tpu.bin._train_common import UNROLL_LAYERS_HELP
+    from zipvoice_tpu.bin._train_common import (
+        REMAT_POLICY_HELP,
+        UNROLL_LAYERS_HELP,
+    )
 
     p.add_argument("--unroll-layers", action="store_true",
                    help=UNROLL_LAYERS_HELP)
+    p.add_argument("--remat-policy", type=str, default=None,
+                   choices=["full", "all", "dots", "xprobs", "xprobs_ff"],
+                   help=REMAT_POLICY_HELP)
     return p
 
 
