@@ -533,6 +533,8 @@ def _interp_patch(monkeypatch):
     real_probs = att.rel_attention_probs_any
     real_apply = att.rel_attention_apply_any
     real_consume = att.rel_attention_consume
+    real_pc = att.rel_attention_probs_consume
+    real_h0 = att.rel_attention_head0_consume
 
     def probs_i(*a, **kw):
         kw["interpret"] = True
@@ -546,9 +548,19 @@ def _interp_patch(monkeypatch):
         kw["interpret"] = True
         return real_consume(*a, **kw)
 
+    def pc_i(*a, **kw):
+        kw["interpret"] = True
+        return real_pc(*a, **kw)
+
+    def h0_i(*a, **kw):
+        kw["interpret"] = True
+        return real_h0(*a, **kw)
+
     monkeypatch.setattr(att, "rel_attention_probs_any", probs_i)
     monkeypatch.setattr(att, "rel_attention_apply_any", apply_i)
     monkeypatch.setattr(att, "rel_attention_consume", consume_i)
+    monkeypatch.setattr(att, "rel_attention_probs_consume", pc_i)
+    monkeypatch.setattr(att, "rel_attention_head0_consume", h0_i)
 
 
 def test_layer_fused_kernel_matches_xla_eval(monkeypatch):
@@ -730,3 +742,86 @@ def test_train_step_with_consume_path(monkeypatch):
         a, b_ = np.asarray(a), np.asarray(b_)
         denom = max(float(np.linalg.norm(a)), float(np.linalg.norm(b_)), 1e-6)
         assert float(np.linalg.norm(a - b_)) / denom < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Eval-only fused variants: probs kernel with fused first consumer, and the
+# tile-wise head-0 nonlin contraction (round-4 inference-MFU work).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t", [256, 200])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_probs_consume_matches_xla(t, with_mask):
+    from zipvoice_tpu.ops.attention import rel_attention_probs_consume
+
+    b, h, qd, pd, vd = 2, 4, 32, 4, 12
+    rng = np.random.default_rng(20)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    mask = (
+        jnp.asarray(np.arange(t)[None, :] >= np.array([t, t - 60])[:, None])
+        if with_mask
+        else None
+    )
+    probs_ref = np.asarray(_xla_path(q, k, pq, pe, mask))
+    out_ref = np.asarray(_xla_apply(q, k, pq, pe, mask, v))
+    probs, out = rel_attention_probs_consume(
+        q, k, pq, pe, mask, v, out_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(probs), probs_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [256, 200])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_head0_consume_matches_xla(t, with_mask):
+    from zipvoice_tpu.ops.attention import rel_attention_head0_consume
+
+    b, h, qd, pd, c = 2, 4, 32, 4, 96
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, qd)), jnp.float32)
+    pq = jnp.asarray(rng.standard_normal((b, t, h, pd)), jnp.float32)
+    pe = jnp.asarray(rng.standard_normal((2 * t - 1, h, pd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    mask = (
+        jnp.asarray(np.arange(t)[None, :] >= np.array([t, t - 60])[:, None])
+        if with_mask
+        else None
+    )
+    head0 = _xla_path(q, k, pq, pe, mask)[:, 0]
+    ref = np.asarray(jnp.einsum("bts,bsc->btc", head0, v,
+                                preferred_element_type=jnp.float32))
+    out = np.asarray(rel_attention_head0_consume(
+        q, k, pq, pe, mask, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_layer_fused_eval_deferred_probs_matches_xla(monkeypatch):
+    """Whole encoder layer, eval mode, three ways: the deferred-probs fused
+    path (_EvalAttn: head-0 tile recompute + probs materialized at
+    SelfAttention-1), the round-2 probs-kernel-at-top path, and the plain
+    XLA path must all agree."""
+    from zipvoice_tpu.nn import zipformer as zf
+
+    cfg, p, x, time_emb, pos_emb, mask = _small_layer()
+    _interp_patch(monkeypatch)
+
+    def run(fused, fused_eval):
+        zf.set_fused_attention(fused)
+        zf.set_fused_eval(fused_eval)
+        try:
+            return zf._encoder_layer(p, cfg, x, pos_emb, time_emb, mask, None)
+        finally:
+            zf.set_fused_attention(None)
+            zf.set_fused_eval(True)
+
+    out_deferred = np.asarray(run(True, True))
+    out_top = np.asarray(run(True, False))
+    out_x = np.asarray(run(False, False))
+    np.testing.assert_allclose(out_deferred, out_x, atol=2e-5)
+    np.testing.assert_allclose(out_top, out_x, atol=2e-5)

@@ -65,6 +65,24 @@ def set_fused_apply(enabled: bool):
         _FUSED_APPLY = enabled
         jax.clear_caches()
 
+# Eval-only: defer the probs kernel to the SelfAttention-1 call site and
+# fuse its probs @ v contraction into the kernel epilogue
+# (ops.attention.rel_attention_probs_consume); NonlinAttention recomputes
+# its head-0 probabilities tile-wise instead of slicing the materialized
+# tensor (rel_attention_head0_consume).  Same math (scores depend only on
+# the layer input); removes one full (B, H, T, T) HBM read + the head-0
+# slice read per layer.  SelfAttention-2 keeps the shared-probs read.
+_FUSED_EVAL: bool = True
+
+
+def set_fused_eval(enabled: bool):
+    """Trace-time binding; clears jit caches on change (see set_fused_apply)."""
+    global _FUSED_EVAL
+    if enabled != _FUSED_EVAL:
+        _FUSED_EVAL = enabled
+        jax.clear_caches()
+
+
 # lax.scan over a stack's layers (identical structure): one layer trace per
 # stack instead of num_layers -> much faster compiles, identical numerics.
 _SCAN_LAYERS: bool = True
@@ -451,6 +469,19 @@ def _rel_shift(pos_scores: jax.Array, seq_len: int) -> jax.Array:
     return flat.reshape(b, h, t, 2 * t - 2)[..., :t]
 
 
+class _EvalAttn:
+    """Eval attention bundle: the shared projections only, probabilities not
+    yet materialized.  NonlinAttention consumes head 0 via tile-wise
+    recompute (rel_attention_head0_consume); SelfAttention-1 materializes
+    the shared probs as a kernel by-product of its own contraction
+    (rel_attention_probs_consume) and hands them to SelfAttention-2."""
+
+    __slots__ = ("q", "k", "pq", "pe", "mask")
+
+    def __init__(self, q, k, pq, pe, mask):
+        self.q, self.k, self.pq, self.pe, self.mask = q, k, pq, pe, mask
+
+
 class _FusedAttn:
     """Training attention bundle: the shared projections of
     RelPositionMultiheadAttentionWeights (ref zipformer.py:1149-1306) plus
@@ -569,6 +600,15 @@ def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
     b, t, _ = x.shape
     h = cfg.num_heads
     v = linear(p["in_proj"], x).reshape(b, t, h, cfg.value_head_dim)
+    if isinstance(attn_weights, _EvalAttn):
+        from zipvoice_tpu.ops.attention import rel_attention_probs_consume
+
+        a = attn_weights
+        probs, o = rel_attention_probs_consume(
+            a.q, a.k, a.pq, a.pe, a.mask, v, out_dtype=x.dtype
+        )
+        out = linear(p["out_proj"], o.reshape(b, t, h * cfg.value_head_dim))
+        return out, probs
     if isinstance(attn_weights, _FusedAttn):
         from zipvoice_tpu.ops.attention import rel_attention_consume
 
@@ -607,7 +647,12 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
         )
     v = _maybe_whiten(ctx, v, "whiten_5", 0.01)
     v = checkpoint_name(v * jnp.tanh(s), "nonlin_mid")
-    if isinstance(attn_head0, _FusedAttn):
+    if isinstance(attn_head0, _EvalAttn):
+        from zipvoice_tpu.ops.attention import rel_attention_head0_consume
+
+        a = attn_head0
+        v = rel_attention_head0_consume(a.q, a.k, a.pq, a.pe, a.mask, v)
+    elif isinstance(attn_head0, _FusedAttn):
         from zipvoice_tpu.ops.attention import rel_attention_consume
 
         a = attn_head0
@@ -743,7 +788,15 @@ def _encoder_layer(
     """
     src_orig = src
     t = src.shape[1]
-    if _FUSED_APPLY and ctx is not None and _fused_attention_wanted(t, ctx):
+    if ctx is None and _FUSED_EVAL and _fused_attention_wanted(t, ctx):
+        # eval: defer probs materialization to SelfAttention-1 (see
+        # _EvalAttn / set_fused_eval) — same scores, one fewer (B,H,T,T)
+        # HBM read per layer plus the head-0 slice read
+        q, k, pq, pe, _ = _attention_projections(
+            p["self_attn_weights"], cfg, src, pos_emb, None
+        )
+        attn_weights = _EvalAttn(q, k, pq, pe, key_padding_mask)
+    elif _FUSED_APPLY and ctx is not None and _fused_attention_wanted(t, ctx):
         from zipvoice_tpu.ops.attention import rel_attention_probs_any
 
         q, k, pq, pe, pen = _attention_projections(
@@ -787,7 +840,9 @@ def _encoder_layer(
     else:
         attn_keep = None
 
-    if isinstance(attn_weights, _FusedAttn):
+    if isinstance(attn_weights, _EvalAttn):
+        na = _nonlin_attention(p["nonlin_attention"], src, attn_weights, ctx)
+    elif isinstance(attn_weights, _FusedAttn):
         # const-attention (ref zipformer.py:545-556) resolves in-kernel; the
         # gate draw keeps the probs path's RNG position.
         const_gate = (
@@ -817,6 +872,11 @@ def _encoder_layer(
 
     sa = _self_attention(p["self_attn1"], cfg, src, attn_weights, ctx,
                          use_pen=True)
+    if isinstance(attn_weights, _EvalAttn):
+        # the kernel materialized the shared probs as a by-product; hand
+        # them to SelfAttention-2 (plain bf16-probs contraction)
+        sa, attn_weights = sa
+        _tap("self_attn_weights", attn_weights)
     _tap("self_attn1", sa)
     src = src + (sa if attn_keep is None else sa * attn_keep)
 

@@ -941,3 +941,205 @@ def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
         interpret=interpret,
     )(qh, kh, pqh, peh, maskb)
     return out.reshape(b, h, t, t)
+
+
+# ---------------------------------------------------------------------------
+# Eval-only fused variants (no VJP) — round-4 inference-MFU work.
+#
+# In eval the layer consumes one shared materialized probability tensor
+# three times (nonlin head-0, SelfAttention 1, SelfAttention 2 — ref
+# zipformer.py:1359-1396, 1499-1544); the probs kernel writes it and every
+# consumer reads it back, so the (B, H, T, T) tensor crosses HBM four times
+# per layer.  Two structural fixes, both pure forwards:
+#
+# * rel_attention_probs_consume — the probs kernel grows a fused first
+#   consumer: each (TILE, T) probability tile is contracted with that
+#   consumer's value stream in VMEM right after softmax and BOTH the probs
+#   tile and the (TILE, vd) output tile are written.  Used for
+#   SelfAttention-1 by deferring the probs kernel to its call site (the
+#   scores depend only on the LAYER INPUT, so computing them after ff1/
+#   nonlin is the same math); its 16 MB probs read disappears.
+# * rel_attention_head0_consume — NonlinAttention runs before the deferred
+#   probs kernel, but it only needs head 0: recompute the head-0 scores
+#   tile-wise (1/H of the probs kernel's work) and contract with the gated
+#   value stream in VMEM; the head-0 slice never touches HBM.
+#
+# SelfAttention-2 still reads the materialized probs — with the shared-probs
+# design that read is exactly the bf16 traffic that beat per-consumer
+# softmax recompute (see the consume section above).
+# ---------------------------------------------------------------------------
+
+
+def _probs_consume_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref,
+                          probs_ref, out_ref, *, shear):
+    """Grid (B*H, T//TILE): probs tile + fused probs @ v epilogue."""
+    scores = _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear)
+    probs = _tile_softmax(scores + mask_ref[0, 0, :][None, :])
+    pb = probs.astype(probs_ref.dtype)
+    probs_ref[0] = pb
+    out_ref[0] = jax.lax.dot_general(
+        pb, v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _head0_consume_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref,
+                          out_ref, *, shear):
+    """Grid (B, T//TILE): head-0 probs tile @ wide value stream, no probs
+    output."""
+    scores = _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear)
+    probs = _tile_softmax(scores + mask_ref[0, 0, :][None, :])
+    out_ref[0] = jax.lax.dot_general(
+        probs.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _bias_from_mask(key_padding_mask, b, t):
+    if key_padding_mask is None:
+        return jnp.zeros((b, 1, t), jnp.float32)
+    return jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
+        :, None, :
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def rel_attention_probs_consume(
+    q: jax.Array,  # (B, T, H, qd)
+    k: jax.Array,
+    pq: jax.Array,  # (B, T, H, pd)
+    pe: jax.Array,  # (2T-1, H, pd)
+    key_padding_mask,  # (B, T) bool or None
+    v: jax.Array,  # (B, T, H, vd) — the fused consumer's value stream
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Eval-only: (probs (B, H, T, T) in out_dtype, out (B, T, H, vd) in
+    v.dtype).  out == einsum('bhts,bshd->bthd', probs, v) with f32
+    accumulation; any t (pad-and-slice, same correctness argument as
+    rel_attention_probs_any)."""
+    b, t, h, qd = q.shape
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    d = t_pad - t
+    if d:
+        pad4 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
+        q, k, pq, v = pad4(q), pad4(k), pad4(pq), pad4(v)
+        pe = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+        if key_padding_mask is None:
+            key_padding_mask = jnp.zeros((b, t), bool)
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, d)), constant_values=True
+        )
+    tp = t_pad
+    pd = pq.shape[-1]
+    vd = v.shape[-1]
+    bias = _bias_from_mask(key_padding_mask, b, tp)
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, tp, qd)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, tp, qd)
+    pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, tp, pd)
+    peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, tp, vd)
+
+    probs, out = pl.pallas_call(
+        functools.partial(
+            _probs_consume_kernel, shear=_effective_shear(interpret)
+        ),
+        grid=(b * h, tp // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, qd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, qd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, pd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tp, pd), lambda bh, ti: (bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda bh, ti: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, vd), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE, tp), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, vd), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tp, tp), out_dtype),
+            jax.ShapeDtypeStruct((b * h, tp, vd), v.dtype),
+        ],
+        interpret=interpret,
+    )(qh, kh, pqh, peh, bias, vh)
+    probs = probs.reshape(b, h, tp, tp)
+    out = out.reshape(b, h, tp, vd).transpose(0, 2, 1, 3)
+    if d:
+        probs = probs[:, :, :t, :t]
+        out = out[:, :t]
+    return probs, out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rel_attention_head0_consume(
+    q: jax.Array,  # (B, T, H, qd) — only head 0 is used
+    k: jax.Array,
+    pq: jax.Array,
+    pe: jax.Array,  # (2T-1, H, pd)
+    key_padding_mask,  # (B, T) bool or None
+    v: jax.Array,  # (B, T, C) — gated nonlin value stream (wide C)
+    interpret: bool = False,
+) -> jax.Array:
+    """Eval-only: einsum('bts,bsc->btc', softmax-head0-probs, v) with the
+    head-0 probabilities recomputed tile-wise in VMEM (1/H of the probs
+    kernel work), never materialized.  Accumulates f32; returns v.dtype.
+    The probs it recomputes are numerically identical to the probs kernel's
+    head 0 (same tile ops on the same inputs)."""
+    b, t, h, qd = q.shape
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    d = t_pad - t
+    if d:
+        pad4 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
+        q, k, pq = pad4(q), pad4(k), pad4(pq)
+        v = jnp.pad(v, ((0, 0), (0, d), (0, 0)))
+        pe = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+        if key_padding_mask is None:
+            key_padding_mask = jnp.zeros((b, t), bool)
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, d)), constant_values=True
+        )
+    tp = t_pad
+    pd = pq.shape[-1]
+    c = v.shape[-1]
+    bias = _bias_from_mask(key_padding_mask, b, tp)
+    q0 = q[:, :, 0, :]
+    k0 = k[:, :, 0, :]
+    pq0 = pq[:, :, 0, :]
+    pe0 = jnp.pad(pe, ((0, 1), (0, 0), (0, 0)))[None, :, 0, :]  # (1, 2T, pd)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _head0_consume_kernel, shear=_effective_shear(interpret)
+        ),
+        grid=(b, tp // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, qd), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, qd), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, pd), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * tp, pd), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tp), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, c), v.dtype),
+        interpret=interpret,
+    )(q0, k0, pq0, pe0, bias, v)
+    return out[:, :t] if d else out
