@@ -529,6 +529,15 @@ def _small_layer(seed=0):
 
 def _interp_patch(monkeypatch):
     import zipvoice_tpu.ops.attention as att
+    import zipvoice_tpu.ops.convglu as cg
+
+    real_cg = cg.conv_glu_swoosh_out
+
+    def cg_i(*a, **kw):
+        kw["interpret"] = True
+        return real_cg(*a, **kw)
+
+    monkeypatch.setattr(cg, "conv_glu_swoosh_out", cg_i)
 
     real_probs = att.rel_attention_probs_any
     real_apply = att.rel_attention_apply_any

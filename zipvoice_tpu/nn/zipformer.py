@@ -83,6 +83,20 @@ def set_fused_eval(enabled: bool):
         jax.clear_caches()
 
 
+# Eval-only: fuse the ConvolutionModule middle (GLU gate -> depthwise conv
+# -> SwooshR -> out projection) into one Pallas kernel (ops/convglu.py) —
+# collapses ~6 HBM tensor passes to read-proj + write-out.
+_FUSED_CONV: bool = True
+
+
+def set_fused_conv(enabled: bool):
+    """Trace-time binding; clears jit caches on change (see set_fused_apply)."""
+    global _FUSED_CONV
+    if enabled != _FUSED_CONV:
+        _FUSED_CONV = enabled
+        jax.clear_caches()
+
+
 # lax.scan over a stack's layers (identical structure): one layer trace per
 # stack instead of num_layers -> much faster compiles, identical numerics.
 _SCAN_LAYERS: bool = True
@@ -693,6 +707,22 @@ def _conv_module(p: Params, x: jax.Array,
     24.5 vs 35.3 us).
     """
     proj = checkpoint_name(linear(p["in_proj"], x), "conv_mid")
+    if (
+        ctx is None
+        and _FUSED_CONV
+        and "weight" in p["out_proj"]  # int8-exported weights -> XLA path
+        and _fused_attention_wanted(x.shape[1], ctx)  # same backend/T gate
+    ):
+        from zipvoice_tpu.ops.convglu import conv_glu_swoosh_out
+
+        return conv_glu_swoosh_out(
+            proj,
+            p["depthwise_conv"]["weight"],
+            p["depthwise_conv"]["bias"],
+            key_padding_mask,
+            p["out_proj"]["weight"],
+            p["out_proj"].get("bias"),
+        )
     v, s = jnp.split(proj, 2, axis=-1)
     if ctx is not None:
         s = _maybe_balancer(
