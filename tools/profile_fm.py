@@ -13,12 +13,15 @@ reconstructs the per-NFE budget from the per-module numbers and compares
 it against the directly measured full forward, so the "unexplained"
 residual (glue: downsample/upsample, bypass, norms, embeds) is explicit.
 
-Writes PROFILE_r3.json.  Run with a generous timeout: ~20 small programs
+--fused-eval/--fused-conv A/B the round-4 eval fusions (deferred-probs
+attention + fused conv middle); --out picks the artifact path (default
+PROFILE_r4.json).  Run with a generous timeout: ~20 small programs
 compile terminal-side on the tunnel.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -29,6 +32,12 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused-eval", choices=["on", "off"], default="on")
+    ap.add_argument("--fused-conv", choices=["on", "off"], default="on")
+    ap.add_argument("--out", type=str, default="/root/repo/PROFILE_r4.json")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
@@ -42,6 +51,8 @@ def main():
     from zipvoice_tpu.utils.flops import peak_bf16_tflops
 
     zf.set_scan_layers(False)
+    zf.set_fused_eval(args.fused_eval == "on")
+    zf.set_fused_conv(args.fused_conv == "on")
 
     dtype = jnp.bfloat16
     model_cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
@@ -227,6 +238,38 @@ def main():
         timed_scan(f"feedforward({tag},T{t})", ff_body, x_at(t), n=nn,
                    gflops=ff_gflops(t))
 
+        if args.fused_eval == "on":
+            # round-4 fused-eval rows: projections + probs_consume kernel +
+            # out proj (replaces attn_probs + self_attn reads), and the
+            # head-0 tile-recompute nonlin path
+            def sa_fused_body(x, lp=lp, pos=pos):
+                q, kk_, pq, pe, _ = zf._attention_projections(
+                    lp["self_attn_weights"], cfg, x, pos, None
+                )
+                bundle = zf._EvalAttn(q, kk_, pq, pe, None)
+                out, probs = zf._self_attention(
+                    lp["self_attn1"], cfg, x, bundle, None
+                )
+                return out + jnp.mean(probs, axis=(1, 3))[..., None].astype(
+                    dtype
+                ) * jnp.asarray(1e-3, dtype)
+
+            def na_fused_body(x, lp=lp, pos=pos):
+                q, kk_, pq, pe, _ = zf._attention_projections(
+                    lp["self_attn_weights"], cfg, x, pos, None
+                )
+                bundle = zf._EvalAttn(q, kk_, pq, pe, None)
+                return zf._nonlin_attention(
+                    lp["nonlin_attention"], x, bundle, None
+                )
+
+            timed_scan(f"probs_consume_sa1({tag},T{t})", sa_fused_body,
+                       x_at(t), n=nn,
+                       gflops=probs_gflops(t) + selfattn_gflops(t))
+            timed_scan(f"head0_consume_na({tag},T{t})", na_fused_body,
+                       x_at(t), n=nn,
+                       gflops=probs_gflops(t) / H + nonlin_gflops(t))
+
     # ---- glue: down/up-sample + out_combiner bypass of one ds=2 stack,
     # with the inner encoder replaced by identity (isolates wrapper cost) ----
     sp2 = params["encoders"]["1"]
@@ -262,9 +305,11 @@ def main():
         "sampler_16step_est_ms": round(16 * nfe_s * 1e3, 2),
         "device": device_kind,
         "peak_bf16_tflops": peak,
+        "fused_eval": args.fused_eval,
+        "fused_conv": args.fused_conv,
     }
     print(json.dumps(results["_summary"], indent=2), flush=True)
-    with open("/root/repo/PROFILE_r3.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
 
