@@ -89,6 +89,65 @@ def main():
         report["checks"][f"consume_grad_{name}_rel_err"] = rel
         assert rel < 2e-3, (name, rel)
 
+    # --- round-4 eval fusions, compiled vs their XLA twins -----------------
+    from zipvoice_tpu.ops.attention import (
+        rel_attention_head0_consume,
+        rel_attention_probs_consume,
+    )
+
+    p2_kernel, o_kernel = jax.jit(
+        lambda *a: rel_attention_probs_consume(*a, out_dtype=jnp.float32)
+    )(q, k, pq, pe, mask, v)
+    o_xla = jnp.einsum("bhts,bshd->bthd", jnp.asarray(p_xla), v,
+                       preferred_element_type=jnp.float32)
+    pc_probs_err = float(np.abs(np.asarray(p2_kernel) - p_xla).max())
+    pc_out_err = float(np.abs(np.asarray(o_kernel) - np.asarray(o_xla)).max())
+    report["checks"]["probs_consume_probs_max_err"] = pc_probs_err
+    report["checks"]["probs_consume_out_max_err"] = pc_out_err
+    assert pc_probs_err < 2e-5, pc_probs_err
+    assert pc_out_err < 1e-4, pc_out_err
+
+    c_wide = 192
+    v_wide = jnp.asarray(rng.standard_normal((b, t, c_wide)), jnp.float32)
+    h0_kernel = np.asarray(jax.jit(rel_attention_head0_consume)(
+        q, k, pq, pe, mask, v_wide), np.float32)
+    h0_xla = np.asarray(jnp.einsum(
+        "bts,bsc->btc", jnp.asarray(p_xla[:, 0]), v_wide,
+        preferred_element_type=jnp.float32), np.float32)
+    h0_err = float(np.abs(h0_kernel - h0_xla).max())
+    report["checks"]["head0_consume_max_err"] = h0_err
+    assert h0_err < 1e-4, h0_err
+
+    from zipvoice_tpu.nn.functional import swoosh_r
+    from zipvoice_tpu.ops.convglu import conv_glu_swoosh_out
+
+    cc, dd, kk = 192, 128, 31
+    proj = jnp.asarray(rng.standard_normal((b, t, 2 * cc)) * 0.5, jnp.float32)
+    w_dw = jnp.asarray(rng.standard_normal((kk, cc)) * 0.2, jnp.float32)
+    b_dw = jnp.asarray(rng.standard_normal((cc,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((cc, dd)) * 0.1, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((dd,)) * 0.1, jnp.float32)
+
+    def conv_xla(proj):
+        vv, ss = jnp.split(proj, 2, axis=-1)
+        vv = vv * jax.nn.sigmoid(ss)
+        vv = jnp.where(mask[:, :, None], 0.0, vv)
+        out = jax.lax.conv_general_dilated(
+            vv, w_dw[:, None, :], window_strides=(1,),
+            padding=((kk // 2, kk // 2),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=cc,
+        ) + b_dw
+        return swoosh_r(out) @ w_out + b_out
+
+    cg_kernel = np.asarray(jax.jit(
+        lambda p: conv_glu_swoosh_out(p, w_dw, b_dw, mask, w_out, b_out)
+    )(proj), np.float32)
+    cg_xla = np.asarray(jax.jit(conv_xla)(proj), np.float32)
+    cg_err = float(np.abs(cg_kernel - cg_xla).max())
+    report["checks"]["conv_glu_max_err"] = cg_err
+    assert cg_err < 1e-4, cg_err
+
     # --- fused mel kernel vs the XLA vocos path (same framing as
     # tests/test_melspec_kernel.py, compiled instead of interpreted)
     n_fft, hop = 1024, 256
