@@ -327,10 +327,15 @@ def _probe_backend(attempt_timeout: float = 100.0, budget: float = 420.0):
     detail = ""
     while True:
         attempt += 1
+        # each attempt is clamped to the REMAINING budget, so a small
+        # BENCH_DEADLINE cannot be overrun by one long hung probe
+        this_timeout = min(
+            attempt_timeout, max(15.0, budget - (time.monotonic() - t0))
+        )
         try:
             r = subprocess.run(
                 [sys.executable, "-c", PROBE_SCRIPT],
-                capture_output=True, text=True, timeout=attempt_timeout,
+                capture_output=True, text=True, timeout=this_timeout,
             )
             if r.returncode == 0 and "PROBE_OK" in r.stdout:
                 return True, f"probe ok (attempt {attempt})"
@@ -339,7 +344,7 @@ def _probe_backend(attempt_timeout: float = 100.0, budget: float = 420.0):
                 + (r.stderr or r.stdout).strip()[-300:]
             )
         except subprocess.TimeoutExpired:
-            detail = f"probe timed out after {attempt_timeout:.0f}s"
+            detail = f"probe timed out after {this_timeout:.0f}s"
         if time.monotonic() - t0 + 30 + attempt_timeout > budget:
             return False, f"{detail} (gave up after {attempt} attempts)"
         time.sleep(30)

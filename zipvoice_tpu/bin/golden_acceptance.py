@@ -43,6 +43,13 @@ def _dry_run(names, dirs, args) -> int:
     ok = True
     for name, d in zip(names, dirs):
         entry = {"files": {}}
+        if name not in MODEL_REGISTRY:
+            entry["source"] = (
+                f"UNKNOWN model '{name}' (known: {', '.join(MODEL_REGISTRY)})"
+            )
+            ok = False
+            report["models"][name] = entry
+            continue
         if d is None:
             sub = MODEL_REGISTRY[name]["hf_dir"]
             entry["source"] = f"hf://{HF_REPO}/{sub}/" + "{model.pt,model.json,tokens.txt}"
@@ -77,7 +84,7 @@ def _dry_run(names, dirs, args) -> int:
     )
     ok = ok and Path(args.fixture).exists()
     dirs_arg = (
-        " --model-dirs " + ",".join(str(d) for d in dirs)
+        " --model-dirs " + ",".join("" if d is None else str(d) for d in dirs)
         if any(d is not None for d in dirs) else ""
     )
     report["invocation"] = (
@@ -115,7 +122,12 @@ def main():
         list(MODEL_REGISTRY) if args.models == "all"
         else args.models.split(",")
     )
-    dirs = args.model_dirs.split(",") if args.model_dirs else [None] * len(names)
+    # empty entries mean "download from HF" — lets a mixed local/HF list
+    # round-trip through the dry-run's printed invocation
+    dirs = (
+        [d or None for d in args.model_dirs.split(",")]
+        if args.model_dirs else [None] * len(names)
+    )
     if len(dirs) != len(names):
         p.error("--model-dirs must align with --models")
 

@@ -187,7 +187,7 @@ def check_tokenizer(
         pinned_provenance or {}
     ).get("en_g2p_backend")
     produced = {}
-    n_checked, n_pending, failed = 0, 0, []
+    n_checked, n_pending, failed, crashed = 0, 0, [], []
     tok_cache: Dict[str, object] = {}
     for item in battery:
         try:
@@ -212,6 +212,7 @@ def check_tokenizer(
             else:
                 produced[item["text"]] = f"error: {type(e).__name__}: {e}"
                 failed.append(item["text"])
+                crashed.append(item["text"])
             continue
         produced[item["text"]] = {"tokens": toks, "ids": ids_out}
         g = goldens.get(item["text"])
@@ -223,7 +224,10 @@ def check_tokenizer(
                 failed.append(item["text"])
     en_langs = ("en-us", "mixed")
     lang_of = {item["text"]: item["lang"] for item in battery}
-    only_en_failed = failed and all(
+    # the backend-mismatch gate applies ONLY to golden-string mismatches —
+    # a tokenizer crash must fail the battery regardless of which G2P
+    # engine is active (review r4)
+    only_en_failed = failed and not crashed and all(
         lang_of.get(t) in en_langs for t in failed
     )
     if only_en_failed and result["en_g2p_pinned_with"] not in (

@@ -168,8 +168,11 @@ def _layer_checkpoint(fn):
 
 
 def set_fused_attention(enabled: Optional[bool]):
+    """Trace-time binding; clears jit caches on change (see set_fused_apply)."""
     global _FUSED_ATTENTION
-    _FUSED_ATTENTION = enabled
+    if enabled != _FUSED_ATTENTION:
+        _FUSED_ATTENTION = enabled
+        jax.clear_caches()
 
 
 # --- diagnostics tap: when set, per-module outputs are reported by name

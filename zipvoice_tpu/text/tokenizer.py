@@ -91,7 +91,7 @@ def active_g2p_backend(lang: str = "en-us") -> str:
     Exposed so golden pinning can record the provenance of EN goldens
     produced by the vendored fallback (VERDICT r3 next #5)."""
     try:
-        import piper_phonemize  # type: ignore  # noqa: F401
+        from piper_phonemize import phonemize_espeak  # type: ignore  # noqa: F401
 
         return "piper"
     except ImportError:
@@ -115,17 +115,18 @@ def espeak_phonemize(text: str, lang: str = "en-us") -> List[str]:
     shape, different engine; callers that pin goldens must record the
     provenance via active_g2p_backend().  Non-EN languages still raise.
     """
-    try:
+    # single source of truth: dispatch on active_g2p_backend so the
+    # recorded provenance can never drift from the engine actually used
+    backend = active_g2p_backend(lang)
+    if backend == "piper":
         from piper_phonemize import phonemize_espeak  # type: ignore
 
         out = phonemize_espeak(text, lang)
         return [ph for sent in out for ph in sent]
-    except ImportError:
-        pass
-    exe = shutil.which("espeak-ng") or shutil.which("espeak")
-    if exe is not None:
+    if backend == "espeak-ng":
+        exe = shutil.which("espeak-ng") or shutil.which("espeak")
         return _espeak_binary_phonemize(exe, text, lang)
-    if lang.lower().startswith("en"):
+    if backend == "offline-fallback":
         from zipvoice_tpu.text.en_g2p import fallback_phonemize
 
         return fallback_phonemize(text)

@@ -72,7 +72,17 @@ def instance_cache(fn=None, *, maxsize: int = 32):
             if not owner:
                 pending.event.wait()
                 if pending.error is not None:
-                    raise pending.error
+                    # raise a fresh instance chained from the owner's: a
+                    # shared exception object must not have its traceback
+                    # mutated by several waiter threads at once (review r4)
+                    err = pending.error
+                    try:
+                        clone = type(err)(*err.args)
+                    except Exception:  # noqa: BLE001 — exotic constructor
+                        clone = RuntimeError(
+                            f"{f.__name__} build failed: {err!r}"
+                        )
+                    raise clone from err
                 return pending.value
             try:
                 value = f(self, *args, **kwargs)
