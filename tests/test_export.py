@@ -125,8 +125,74 @@ def test_int8_weight_only_quantization():
     assert float(np.mean((deq - quant) ** 2)) < 1e-9
 
 
-def test_export_cli_int8(tmp_path, monkeypatch):
-    """export_model --quantize int8 produces a loadable StableHLO sampler."""
+def test_int8_dynamic_activation_quantization():
+    """set_int8_dynamic(True): linear() quantizes activations per row and
+    runs s8xs8->s32 (the full dynamic-quant analogue of the reference's
+    onnxruntime path, ref onnx_export.py:384-400).  (a) the unit matmul
+    stays within the 8-bit error envelope, (b) the end-to-end 2-step sample
+    stays finite and close to f32, (c) the mode resets cleanly."""
+    from zipvoice_tpu.nn import functional as F
+    from zipvoice_tpu.ops.quant import quantize_linear_int8
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((96, 64)).astype(np.float32)
+    x = (rng.standard_normal((4, 7, 96)) * 2.0).astype(np.float32)
+    qp = quantize_linear_int8({"lin": {"weight": w}}, min_elems=1)["lin"]
+    ref = x.reshape(-1, 96) @ w
+
+    F.set_int8_dynamic(True)
+    try:
+        out = np.asarray(F.linear(qp, jnp.asarray(x))).reshape(-1, 64)
+        # the int8 dot really is baked into the traced program
+        # (StableHLO spells the types i8/i32)
+        hlo = jax.jit(lambda a: F.linear(qp, a)).lower(jnp.asarray(x)).as_text()
+        assert "i8" in hlo and "i32" in hlo, hlo[:800]
+    finally:
+        F.set_int8_dynamic(False)
+    # 8-bit error envelope, relative to the output scale: accumulating
+    # in_dim=96 products of two 8-bit-rounded operands gives error
+    # ~ sqrt(96)/2 * s_x * s_w << the output rms
+    rel = np.abs(out - ref) / np.std(ref)
+    assert float(rel.max()) < 0.05, rel.max()
+
+    # end-to-end tiny sample
+    cfg = ZipVoiceConfig(**TINY)
+    params = jax.tree.map(np.asarray,
+                          zv.init_zipvoice(jax.random.PRNGKey(0), cfg))
+    qparams = quantize_linear_int8(params, min_elems=256)
+    cat = list(rng.integers(1, cfg.vocab_size, 12))
+    tokens = zv.pad_labels([cat], cfg.pad_id)
+    total, prompt_len, f = 64, 16, cfg.feat_dim
+    pf = np.zeros((1, total, f), np.float32)
+    pf[0, :prompt_len] = rng.standard_normal((prompt_len, f)) * 0.1
+    noise = rng.standard_normal((1, total, f)).astype(np.float32)
+
+    def run(p):
+        return np.asarray(zv.sample(
+            p, cfg, tokens, np.array([len(cat)], np.int32), pf,
+            np.array([prompt_len], np.int32), np.array([total], np.int32),
+            noise, num_step=2, guidance_scale=1.0, t_shift=0.5,
+        ))
+
+    ref_out = run(params)
+    F.set_int8_dynamic(True)
+    try:
+        dyn = run(qparams)
+    finally:
+        F.set_int8_dynamic(False)
+    assert np.isfinite(dyn).all()
+    mse = float(np.mean((ref_out - dyn) ** 2))
+    assert mse < 2e-2, mse  # dynamic-quant error budget (weights AND acts)
+
+    # mode reset: the same tree now takes the weight-only path again
+    wonly = run(qparams)
+    assert float(np.mean((wonly - ref_out) ** 2)) < 5e-3
+
+
+@pytest.mark.parametrize("quantize", ["int8", "int8-dynamic"])
+def test_export_cli_int8(tmp_path, monkeypatch, quantize):
+    """export_model --quantize int8[-dynamic] produces a loadable StableHLO
+    sampler."""
     import json
     import sys
 
@@ -157,7 +223,7 @@ def test_export_cli_int8(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "export_model", "--model-dir", str(tmp_path), "--out-dir", str(out),
         "--num-step", "2", "--max-tokens", "16", "--max-frames", "64",
-        "--quantize", "int8",
+        "--quantize", quantize,
     ])
     export_model.main()
 

@@ -1,12 +1,11 @@
-"""int8 weight-only serving: on-device RTF + fidelity vs bf16.
+"""int8 serving: on-device RTF + fidelity vs bf16.
 
-Runs the 16-step CFG sampler (123M, 10 s request) with every linear
-weight quantized to int8 + per-channel scales (ops/quant.py — the
-weight-only counterpart of the reference's dynamic-int8 ONNX export,
-ref onnx_export.py:384-400) and reports:
-  - sampler wall time vs the bf16 baseline (same program shapes)
-  - mel MSE int8-vs-bf16 (fidelity cost of the quantized deployment)
-Writes INT8_RTF.json.
+Runs the 16-step CFG sampler (123M, 10 s request) three ways — bf16,
+int8 weight-only, and int8 dynamic (weights AND per-row activation
+scales, s8xs8->s32 on the MXU; ops/quant.py + nn.functional
+set_int8_dynamic — the TPU counterpart of the reference's dynamic-int8
+ONNX export, ref onnx_export.py:384-400) — and reports sampler wall time
+plus mel MSE vs the bf16 baseline.  Writes INT8_RTF.json.
 """
 
 from __future__ import annotations
@@ -85,12 +84,26 @@ def main():
 
     mel16, t16 = run(params_bf16)
     mel8, t8 = run(params_int8)
+
+    # dynamic activation quantization (s8xs8->s32 on the MXU; the full
+    # analogue of the reference's onnxruntime dynamic MatMul quant)
+    from zipvoice_tpu.nn.functional import set_int8_dynamic
+
+    set_int8_dynamic(True)
+    try:
+        mel8d, t8d = run(params_int8)
+    finally:
+        set_int8_dynamic(False)
+
     wav_secs = 938 * feat_cfg.hop_length / feat_cfg.sampling_rate
     gen = slice(prompt_len, 938)
     report = {
         "rtf_bf16": round(t16 / wav_secs, 5),
         "rtf_int8": round(t8 / wav_secs, 5),
+        "rtf_int8_dynamic": round(t8d / wav_secs, 5),
         "mel_mse_int8_vs_bf16": float(f"{mel_mse(mel8[0, gen], mel16[0, gen]):.3e}"),
+        "mel_mse_int8_dynamic_vs_bf16": float(
+            f"{mel_mse(mel8d[0, gen], mel16[0, gen]):.3e}"),
         "param_bytes_bf16": int(sum(
             np.prod(a.shape) * a.dtype.itemsize
             for a in jax.tree.leaves(params_bf16))),

@@ -45,6 +45,9 @@ run 3000 "fm fused off" python tools/profile_fm.py --fused-eval off --fused-conv
 # 3) kernel numerics on real hardware (covers the round-4 fusions)
 run 1800 "kernel check" python tools/tpu_kernel_check.py
 
+# 3b) int8 serving A/B (weight-only + dynamic-activation rows)
+run 2400 "int8 rtf" python tools/int8_rtf.py
+
 # 4) builder-side bench capture (full rows; driver re-runs this at round end)
 run 2400 "bench" env BENCH_DEADLINE=2100 python bench.py
 

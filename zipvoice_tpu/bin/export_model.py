@@ -40,10 +40,15 @@ def get_parser():
                    help="static frame-axis size (30s ~ 2812 frames)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
-                   help="weight-only int8 for linear layers — the TPU "
-                        "counterpart of the reference's dynamic-int8 ONNX "
-                        "export (ref onnx_export.py:384-400)")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "int8-dynamic"],
+                   help="int8 for linear layers — the TPU counterpart of "
+                        "the reference's dynamic-int8 ONNX export (ref "
+                        "onnx_export.py:384-400). 'int8' = weight-only "
+                        "(bandwidth win, negligible quality cost); "
+                        "'int8-dynamic' = also quantize activations per "
+                        "row and run s8xs8->s32 on the MXU (2x bf16 peak), "
+                        "the full dynamic-quant analogue")
     return p
 
 
@@ -73,12 +78,12 @@ def main():
         "guidance_scale"]
     distill = defaults["distill"]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.quantize == "int8":
+    if args.quantize in ("int8", "int8-dynamic"):
         from zipvoice_tpu.ops.quant import quantize_linear_int8, quantized_bytes
 
         before = quantized_bytes(assets.params)
         params = quantize_linear_int8(assets.params)
-        logging.info("int8 weight-only quantization: %.1f MB -> %.1f MB",
+        logging.info("%s quantization: %.1f MB -> %.1f MB", args.quantize,
                      before / 1e6, quantized_bytes(params) / 1e6)
         # int8 weights stay int8 and scales stay f32 (cast to the compute
         # dtype at the matmul epilogue); other float leaves follow --dtype
@@ -89,6 +94,28 @@ def main():
         )
     else:
         params = jax.tree.map(lambda a: jnp.asarray(a, dtype), assets.params)
+
+    # trace-time binding: every program exported below bakes the
+    # dynamic-activation path in; reset on the way out so an in-process
+    # caller (tests) doesn't leak the mode into later traces
+    from zipvoice_tpu.nn.functional import set_int8_dynamic
+
+    if args.quantize == "int8-dynamic":
+        set_int8_dynamic(True)
+    try:
+        _export_programs(args, params, cfg, dtype, distill, num_step, gs,
+                         timesteps)
+    finally:
+        set_int8_dynamic(False)
+
+
+def _export_programs(args, params, cfg, dtype, distill, num_step, gs,
+                     timesteps):
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from zipvoice_tpu.models import zipvoice as zv
 
     s, t, f = args.max_tokens, args.max_frames, cfg.feat_dim
     out_dir = Path(args.out_dir)

@@ -67,13 +67,53 @@ def bias_norm(x: jax.Array, bias: jax.Array, log_scale: jax.Array) -> jax.Array:
     return (x32 * scales).astype(x.dtype)
 
 
+_INT8_DYNAMIC: bool = False
+
+
+def set_int8_dynamic(enabled: bool):
+    """Trace-time binding (like zipformer.set_fused_apply): when True,
+    linear() on an int8-exported tree also quantizes ACTIVATIONS per row
+    and runs the s8xs8->s32 MXU path.  Clears jit caches on change so a
+    stale traced program is never served."""
+    global _INT8_DYNAMIC
+    if enabled != _INT8_DYNAMIC:
+        _INT8_DYNAMIC = enabled
+        jax.clear_caches()
+
+
 def linear(p: dict, x: jax.Array) -> jax.Array:
     """Dense layer; p['weight'] is (in, out) (transposed from torch at load).
 
     Also accepts the int8 weight-only form from ops/quant.py
     ({'weight_int8', 'weight_scale'}): the int8->compute-dtype cast fuses
-    into the matmul and the per-output-channel scale into its epilogue."""
+    into the matmul and the per-output-channel scale into its epilogue.
+    Under set_int8_dynamic(True) the activations are ALSO quantized —
+    symmetric per-row (per-token) dynamic scales, matching the reference's
+    onnxruntime dynamic MatMul quantization (ref onnx_export.py:384-400:
+    quantize_dynamic) — and the product runs int8 x int8 -> int32 on the
+    MXU (2x bf16 peak on v5e), dequantized in the f32 epilogue by
+    row_scale * channel_scale."""
     if "weight_int8" in p:
+        if _INT8_DYNAMIC:
+            x32 = x.astype(jnp.float32)
+            s_x = jnp.maximum(
+                jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12
+            )
+            qx = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                qx, p["weight_int8"],
+                (((qx.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                y.astype(jnp.float32)
+                * s_x
+                * p["weight_scale"].astype(jnp.float32)
+            ).astype(x.dtype)
+            b = p.get("bias")
+            if b is not None:
+                y = y + b.astype(x.dtype)
+            return y
         # f32 accumulator + f32 per-channel scale in the epilogue, THEN the
         # cast to compute dtype: rounding the scale to bf16 first would
         # throw away half the precision the int8 quantization preserved
