@@ -120,6 +120,47 @@ def test_pipeline_end_to_end(model_dir):
     assert {"rtf", "rtf_no_vocoder", "rtf_vocoder"} <= set(res.metrics)
 
 
+@pytest.mark.parametrize("quantize", ["int8", "int8-dynamic"])
+def test_pipeline_quantized_serving(model_dir, quantize):
+    """--quantize serving path: the pipeline quantizes the tree at init
+    (int8 weights + f32 per-channel scales survive the device cast) and
+    synthesize stays finite and close to the float pipeline."""
+    import jax
+
+    from zipvoice_tpu.nn import functional as F
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    vocos_params = init_vocos(jax.random.PRNGKey(1), vcfg)
+    kw = dict(
+        model_cfg=assets.model_cfg, feat_cfg=assets.feat_cfg,
+        vocos_params=vocos_params, vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(0)
+    prompt_wav = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
+    req = dict(text="hello world", prompt_text="hi there",
+               prompt_wav=prompt_wav, prompt_sr=24000, num_step=2,
+               guidance_scale=1.0, seed=7)
+
+    try:
+        ref = ZipVoicePipeline(params=assets.params, **kw).synthesize(**req)
+        qpipe = ZipVoicePipeline(params=assets.params, quantize=quantize,
+                                 **kw)
+        # int8 weights + f32 scales survived the device cast
+        leaves = jax.tree.leaves(qpipe.params)
+        assert any(a.dtype == jnp.int8 for a in leaves)
+        assert any(a.dtype == jnp.float32 for a in leaves)
+        res = qpipe.synthesize(**req)
+    finally:
+        F.set_int8_dynamic(False)
+    assert np.isfinite(res.wav).all()
+    mse = float(np.mean((res.features - ref.features) ** 2))
+    assert mse < 2e-2, mse
+
+
 def test_bucket_padding_invariance(model_dir):
     """Padding T/S up to buckets must not change the generated mel except for
     the downsample-boundary tail frames (same leak exists in the reference's

@@ -76,6 +76,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="On-device compute dtype")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8", "int8-dynamic"],
+                        help="int8 linear layers: weight-only, or dynamic "
+                             "(per-row activation scales, s8xs8->s32 MXU)")
     return parser
 
 
@@ -141,6 +145,7 @@ def build_pipeline(args):
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         distill=assets.defaults["distill"],
         vocoder=vocoder_kind,
+        quantize=getattr(args, "quantize", None),
     )
     defaults = assets.defaults
     num_step = args.num_step if args.num_step is not None else defaults["num_step"]

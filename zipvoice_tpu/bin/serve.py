@@ -37,6 +37,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--feat-bias", type=float, default=0.0)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "int8-dynamic"],
+                   help="int8 linear layers: weight-only, or dynamic "
+                        "(per-row activation scales, s8xs8->s32 MXU)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile the serving buckets before listening")
     p.add_argument("--allow-custom-sampling", action="store_true",
