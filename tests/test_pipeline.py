@@ -122,9 +122,11 @@ def test_pipeline_end_to_end(model_dir):
 
 @pytest.mark.parametrize("quantize", ["int8", "int8-dynamic"])
 def test_pipeline_quantized_serving(model_dir, quantize):
-    """--quantize serving path: the pipeline quantizes the tree at init
-    (int8 weights + f32 per-channel scales survive the device cast) and
-    synthesize stays finite and close to the float pipeline."""
+    """--quantize serving path at the DEPLOYMENT dtype (bf16): the pipeline
+    quantizes the tree at init, int8 weights + f32 per-channel scales
+    survive the bf16 device cast (keyed check — under bf16 a stray f32
+    leaf can only be a scale), and synthesize stays finite and close to
+    the unquantized pipeline."""
     import jax
 
     from zipvoice_tpu.nn import functional as F
@@ -138,6 +140,7 @@ def test_pipeline_quantized_serving(model_dir, quantize):
         model_cfg=assets.model_cfg, feat_cfg=assets.feat_cfg,
         vocos_params=vocos_params, vocos_cfg=vcfg,
         tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+        dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
     prompt_wav = (rng.standard_normal((1, 24000)) * 0.05).astype(np.float32)
@@ -149,16 +152,43 @@ def test_pipeline_quantized_serving(model_dir, quantize):
         ref = ZipVoicePipeline(params=assets.params, **kw).synthesize(**req)
         qpipe = ZipVoicePipeline(params=assets.params, quantize=quantize,
                                  **kw)
-        # int8 weights + f32 scales survived the device cast
-        leaves = jax.tree.leaves(qpipe.params)
-        assert any(a.dtype == jnp.int8 for a in leaves)
-        assert any(a.dtype == jnp.float32 for a in leaves)
+
+        # keyed walk: every weight_int8 is int8, every weight_scale is f32
+        # (the exact divergence the export path once had), everything else
+        # followed the bf16 deployment dtype
+        def walk(d, path=()):
+            if not isinstance(d, dict):
+                yield path, d
+            else:
+                for k, v in d.items():
+                    yield from walk(v, path + (k,))
+
+        n_q = n_s = 0
+        for path, leaf in walk(qpipe.params):
+            if path[-1] == "weight_int8":
+                assert leaf.dtype == jnp.int8, path
+                n_q += 1
+            elif path[-1] == "weight_scale":
+                assert leaf.dtype == jnp.float32, path
+                n_s += 1
+            else:
+                assert leaf.dtype == jnp.bfloat16, (path, leaf.dtype)
+        assert n_q > 0 and n_q == n_s
         res = qpipe.synthesize(**req)
+        # the trace-time dynamic mode is bound per the pipeline's mode
+        assert F._INT8_DYNAMIC == (quantize == "int8-dynamic")
     finally:
         F.set_int8_dynamic(False)
     assert np.isfinite(res.wav).all()
-    mse = float(np.mean((res.features - ref.features) ** 2))
-    assert mse < 2e-2, mse
+    # mechanism check, not a fidelity budget (tiny random weights amplify
+    # relative quant error; the 123M fidelity rows come from
+    # tools/int8_rtf.py on the real config): outputs must track the
+    # unquantized pipeline closely
+    a = np.asarray(res.features, np.float32).ravel()
+    b = np.asarray(ref.features, np.float32).ravel()
+    mse = float(np.mean((a - b) ** 2))
+    assert mse < 1e-1, mse
+    assert float(np.corrcoef(a, b)[0, 1]) > 0.98
 
 
 def test_bucket_padding_invariance(model_dir):

@@ -28,7 +28,10 @@ def main():
     from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
     from zipvoice_tpu.eval.metrics import mel_mse
     from zipvoice_tpu.models import zipvoice as zv
-    from zipvoice_tpu.ops.quant import quantize_linear_int8
+    from zipvoice_tpu.ops.quant import (
+        cast_quantized_tree,
+        quantize_linear_int8,
+    )
 
     dtype = jnp.bfloat16
     cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
@@ -46,22 +49,9 @@ def main():
 
     params = zv.init_zipvoice(jax.random.PRNGKey(0), cfg)
     params_bf16 = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
-    q = quantize_linear_int8(jax.tree.map(np.asarray, params))
-
-    def to_dev(d):
-        # float leaves go to bf16 like the deployment pipeline, EXCEPT the
-        # per-channel scales (f32: they multiply the f32 dot accumulator)
-        out = {}
-        for k, v in d.items():
-            if isinstance(v, dict):
-                out[k] = to_dev(v)
-            elif k == "weight_scale" or v.dtype != np.float32:
-                out[k] = jnp.asarray(v)
-            else:
-                out[k] = jnp.asarray(v, dtype)
-        return out
-
-    params_int8 = to_dev(q)
+    params_int8 = cast_quantized_tree(
+        quantize_linear_int8(jax.tree.map(np.asarray, params)), dtype
+    )
 
     args = (
         tokens_padded, np.array([len(cat)], np.int32),

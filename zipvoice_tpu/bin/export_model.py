@@ -58,10 +58,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
 
     from zipvoice_tpu.io.model_dir import load_model_dir
-    from zipvoice_tpu.models import zipvoice as zv
 
     assets = load_model_dir(
         model_dir=args.model_dir, model_name=args.model_name,
@@ -79,19 +77,20 @@ def main():
     distill = defaults["distill"]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.quantize in ("int8", "int8-dynamic"):
-        from zipvoice_tpu.ops.quant import quantize_linear_int8, quantized_bytes
+        from zipvoice_tpu.ops.quant import (
+            cast_quantized_tree,
+            quantize_linear_int8,
+            quantized_bytes,
+        )
 
         before = quantized_bytes(assets.params)
         params = quantize_linear_int8(assets.params)
         logging.info("%s quantization: %.1f MB -> %.1f MB", args.quantize,
                      before / 1e6, quantized_bytes(params) / 1e6)
-        # int8 weights stay int8 and scales stay f32 (cast to the compute
-        # dtype at the matmul epilogue); other float leaves follow --dtype
-        params = jax.tree.map(
-            lambda a: jnp.asarray(a) if a.dtype == np.int8
-            else jnp.asarray(a, dtype),
-            params,
-        )
+        # single-sourced cast policy: int8 weights stay int8, per-channel
+        # scales stay f32 (they feed the f32 accumulator epilogue), other
+        # leaves follow --dtype
+        params = cast_quantized_tree(params, dtype)
     else:
         params = jax.tree.map(lambda a: jnp.asarray(a, dtype), assets.params)
 

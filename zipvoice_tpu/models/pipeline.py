@@ -83,33 +83,28 @@ class ZipVoicePipeline:
         if quantize is not None:
             if quantize not in ("int8", "int8-dynamic"):
                 raise ValueError(f"unknown quantize mode {quantize!r}")
-            from zipvoice_tpu.ops.quant import quantize_linear_int8
-
-            params = quantize_linear_int8(
-                jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+            from zipvoice_tpu.nn.functional import set_int8_dynamic
+            from zipvoice_tpu.ops.quant import (
+                cast_quantized_tree,
+                quantize_linear_int8,
             )
-            if quantize == "int8-dynamic":
-                # trace-time, process-global binding (one serving process,
-                # one quant mode — see nn.functional.set_int8_dynamic)
-                from zipvoice_tpu.nn.functional import set_int8_dynamic
 
-                set_int8_dynamic(True)
+            params = cast_quantized_tree(
+                quantize_linear_int8(
+                    jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+                ),
+                dtype,
+            )
+            # trace-time, process-global binding (one serving process, one
+            # quant mode — see nn.functional.set_int8_dynamic).  Set
+            # EXPLICITLY for both modes: a weight-only pipeline built after
+            # a dynamic one must not inherit the dynamic trace mode
+            set_int8_dynamic(quantize == "int8-dynamic")
         self.quantize = quantize
-
-        def _cast(tree):
-            # int8 weights stay int8; f32 per-channel scales stay f32 (they
-            # multiply the f32 dot accumulator); everything else -> dtype
-            if not isinstance(tree, dict):
-                return jnp.asarray(tree, dtype)
-            return {
-                k: (jnp.asarray(v) if k in ("weight_int8", "weight_scale")
-                    else _cast(v))
-                for k, v in tree.items()
-            }
 
         self.params = jax.device_put(
             jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
-            if quantize is None else _cast(params)
+            if quantize is None else params
         )
         self.vocos_params = (
             None

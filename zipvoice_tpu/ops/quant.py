@@ -56,6 +56,27 @@ def quantize_linear_int8(
     return walk(params, ())
 
 
+def cast_quantized_tree(params: Dict, dtype) -> "Dict":
+    """Device-cast policy for an int8-quantized tree, single-sourced for
+    every consumer (export, serving pipeline, RTF probe): int8 weights
+    stay int8, ``weight_scale`` stays float32 (it multiplies the f32 dot
+    accumulator — rounding it to bf16 first would throw away half the
+    precision the int8 quantization preserved, see nn.functional.linear),
+    and every other leaf goes to the compute ``dtype``."""
+    import jax.numpy as jnp
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return jnp.asarray(tree, dtype)
+        return {
+            k: (jnp.asarray(v) if k in ("weight_int8", "weight_scale")
+                else walk(v))
+            for k, v in tree.items()
+        }
+
+    return walk(params)
+
+
 def dequantize_linear_int8(params: Dict) -> Dict:
     """Inverse of quantize_linear_int8 (up to rounding): restores "weight"."""
 
