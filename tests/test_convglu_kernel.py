@@ -80,3 +80,40 @@ def test_conv_glu_fused_bf16():
         jnp.asarray(proj32, jnp.bfloat16), w, bias, None,
         w_out, b_out, interpret=True)).astype(np.float32)
     assert np.abs(out - ref).max() < 0.15  # bf16 input + bf16 GEMM operand
+
+
+@pytest.mark.parametrize("t", [256, 384, 512])
+def test_conv_glu_fused_multi_tile(t):
+    """Time-tiled path: halo rows cross tile boundaries (K=31 > pad=15
+    reaches into neighbor tiles), edges zeroed, t=384 forces the 128-tile,
+    t=512 the 256-tile."""
+    b, c, d, kernel = 2, 32, 24, 31
+    rng = np.random.default_rng(t)
+    proj = jnp.asarray(rng.standard_normal((b, t, 2 * c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kernel, c)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((c, d)) * 0.2, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.arange(t)[None, :] >= np.array([t, t - 37])[:, None]
+    )
+    ref = np.asarray(_xla_ref(proj, w, bias, mask, w_out, b_out))
+    out = np.asarray(conv_glu_swoosh_out(
+        proj, w, bias, mask, w_out, b_out, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_conv_glu_fused_non_multiple_pad_slice():
+    """t not a multiple of 128 pads-and-slices; the zero pad reproduces the
+    SAME-conv boundary exactly."""
+    b, t, c, d, kernel = 1, 200, 32, 24, 15
+    rng = np.random.default_rng(9)
+    proj = jnp.asarray(rng.standard_normal((b, t, 2 * c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kernel, c)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((c, d)) * 0.2, jnp.float32)
+    out = conv_glu_swoosh_out(proj, w, bias, None, w_out, None,
+                              interpret=True)
+    assert out.shape == (b, t, d)
+    ref = np.asarray(_xla_ref(proj, w, bias, None, w_out, None))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)

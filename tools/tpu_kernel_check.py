@@ -148,6 +148,33 @@ def main():
     report["checks"]["conv_glu_max_err"] = cg_err
     assert cg_err < 1e-4, cg_err
 
+    # same kernel at t=512 — exercises the 256-row time tile (t=384 above
+    # runs the 128-tile config; both must compile and agree on chip)
+    proj512 = jnp.asarray(
+        rng.standard_normal((b, 512, 2 * cc)) * 0.5, jnp.float32)
+    mask512 = jnp.asarray(
+        np.arange(512)[None, :] >= np.array([512, 512 - 57])[:, None])
+
+    def conv_xla_512(p):
+        vv, ss = jnp.split(p, 2, axis=-1)
+        vv = vv * jax.nn.sigmoid(ss)
+        vv = jnp.where(mask512[:, :, None], 0.0, vv)
+        out = jax.lax.conv_general_dilated(
+            vv, w_dw[:, None, :], window_strides=(1,),
+            padding=((kk // 2, kk // 2),),
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=cc,
+        ) + b_dw
+        return swoosh_r(out) @ w_out + b_out
+
+    cg512_kernel = np.asarray(jax.jit(
+        lambda p: conv_glu_swoosh_out(p, w_dw, b_dw, mask512, w_out, b_out)
+    )(proj512), np.float32)
+    cg512_err = float(np.abs(
+        cg512_kernel - np.asarray(jax.jit(conv_xla_512)(proj512), np.float32)
+    ).max())
+    report["checks"]["conv_glu_t512_max_err"] = cg512_err
+    assert cg512_err < 1e-4, cg512_err
+
     # --- fused mel kernel vs the XLA vocos path (same framing as
     # tests/test_melspec_kernel.py, compiled instead of interpreted)
     n_fft, hop = 1024, 256

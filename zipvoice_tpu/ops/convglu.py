@@ -8,13 +8,25 @@ and in XLA each elementwise stage between the two GEMMs costs a full
 of bf16 peak with ~20 us/call of slack over its GEMM+conv roofline at
 B=2/T=1024/C=512 — almost all of it inter-stage traffic.
 
-This kernel keeps one batch row entirely in VMEM: it reads the in_proj
-output (1, T, 2C) once, computes the gate in f32, applies the key-padding
-mask, runs the K-tap depthwise conv as K static-sliced VPU fmas over a
-zero-padded (T+K-1, C) scratch, adds the conv bias, applies SwooshR, and
-contracts the result with the out-projection weight on the MXU — writing
-only the (1, T, D) module output.  HBM traffic drops from ~6 tensor passes
-to read-proj + write-out.
+The kernel is tiled over time (grid (B, T/TT)) so its VMEM footprint is
+bounded at ~TT rows regardless of sequence length (v5e VMEM is ~16 MB/core;
+an untiled variant at T=1024/C=512 needs ~15+ MB of temporaries alone and
+export shapes reach 3072 frames).  The depthwise conv needs K//2 rows of
+context on each side of a tile, which BlockSpec's disjoint blocks cannot
+express — so the kernel reads the SAME proj array through three specs
+(previous / current / next tile, neighbor indices clamped at the edges),
+recomputes the cheap GLU gate on the 2*(K//2) halo rows, and zeroes the
+halos at the true sequence edges with program_id predicates.  Per tile it:
+computes the gate in f32, applies the key-padding mask, runs the K-tap
+depthwise conv as K static-sliced VPU fmas over the halo-extended (TT+K-1,
+C) window, adds the conv bias, applies SwooshR, and contracts with the
+out-projection weight on the MXU — writing only the (1, TT, D) tile of the
+module output.  HBM traffic drops from ~6 tensor passes to 3x-read-proj +
+write-out.
+
+Sequence lengths that are not a tile multiple are zero-padded up front and
+sliced back (the pad rows are forced to keep=0, reproducing the zero
+time-padding of the SAME conv at the true boundary).
 
 The training path keeps the XLA grouped-conv formulation (balancers/whiten
 hook between the stages, and the backward there was already measured fast
@@ -31,26 +43,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_glu_kernel(proj_ref, w_ref, b_ref, mask_ref, wout_ref, bout_ref,
-                     out_ref, *, kernel_size: int, c: int):
-    """Grid (B,).  proj_ref (1, T, 2C); w_ref (K, C) f32; b_ref (1, C) f32;
-    mask_ref (1, T, 1) f32 multiplicative keep; wout_ref (C, D); bout_ref
-    (1, D) f32; out_ref (1, T, D)."""
-    t = proj_ref.shape[1]
+def _gate(block, mask, c):
+    """f32 GLU gate of one (TT, 2C) proj block, masked."""
+    v = block[:, :c].astype(jnp.float32)
+    s = block[:, c:].astype(jnp.float32)
+    return v * jax.nn.sigmoid(s) * mask
+
+
+def _conv_glu_kernel(prev_ref, cur_ref, nxt_ref, mprev_ref, mcur_ref,
+                     mnxt_ref, w_ref, b_ref, wout_ref, bout_ref, out_ref,
+                     *, kernel_size: int, c: int):
+    """Grid (B, nT).  prev/cur/nxt_ref (1, TT, 2C) are the SAME proj array
+    at tile ti-1 / ti / ti+1 (clamped); m*_ref (1, TT, 1) f32 keep masks at
+    the same tiles; w_ref (K, C) f32; b_ref (1, C) f32; wout_ref (C, D);
+    bout_ref (1, D) f32; out_ref (1, TT, D)."""
+    tt = cur_ref.shape[1]
     pad = kernel_size // 2
 
-    p2 = proj_ref[0]
-    v = p2[:, :c].astype(jnp.float32)
-    s = p2[:, c:].astype(jnp.float32)
-    g = v * jax.nn.sigmoid(s)
-    g = g * mask_ref[0]  # (T, 1) broadcast over channels
+    ti = pl.program_id(1)
+    nt = pl.num_programs(1)
 
-    # zero-padded time axis; K static slices -> K VPU fmas, all in VMEM
-    zeros = jnp.zeros((pad, c), jnp.float32)
-    gp = jnp.concatenate([zeros, g, zeros], axis=0)  # (T + K - 1, C)
-    acc = jnp.zeros((t, c), jnp.float32)
+    g = _gate(cur_ref[0], mcur_ref[0], c)
+    # halo rows: last `pad` of the previous tile, first `pad` of the next;
+    # the clamped neighbor at the true edges is zeroed by predicate
+    left = _gate(
+        jax.lax.slice_in_dim(prev_ref[0], tt - pad, tt, axis=0),
+        jax.lax.slice_in_dim(mprev_ref[0], tt - pad, tt, axis=0),
+        c,
+    ) * jnp.where(ti == 0, 0.0, 1.0)
+    right = _gate(
+        jax.lax.slice_in_dim(nxt_ref[0], 0, pad, axis=0),
+        jax.lax.slice_in_dim(mnxt_ref[0], 0, pad, axis=0),
+        c,
+    ) * jnp.where(ti == nt - 1, 0.0, 1.0)
+
+    gp = jnp.concatenate([left, g, right], axis=0)  # (TT + K - 1, C)
+    acc = jnp.zeros((tt, c), jnp.float32)
     for kk in range(kernel_size):
-        acc = acc + w_ref[kk] * jax.lax.slice_in_dim(gp, kk, kk + t, axis=0)
+        acc = acc + w_ref[kk] * jax.lax.slice_in_dim(gp, kk, kk + tt, axis=0)
 
     y = acc + b_ref[0]
     # SwooshR (ref scaling.py:1098), f32 like nn.functional.swoosh_r
@@ -82,44 +112,65 @@ def conv_glu_swoosh_out(
     bsz, t, c2 = proj.shape
     c = c2 // 2
     d = w_out.shape[1]
+    kernel_size = int(w.shape[0])
+
+    # time tile: VMEM-bounded; 256 when it divides the padded length,
+    # else 128 (the tile must exceed the K//2 halo — K<=31 everywhere)
+    t_pad = ((t + 127) // 128) * 128
+    tt = 256 if t_pad % 256 == 0 else 128
+    nt = t_pad // tt
+
     if key_padding_mask is None:
         keep = jnp.ones((bsz, t, 1), jnp.float32)
     else:
         keep = jnp.where(key_padding_mask, 0.0, 1.0).astype(jnp.float32)[
             :, :, None
         ]
+    if t_pad != t:
+        proj = jnp.pad(proj, ((0, 0), (0, t_pad - t), (0, 0)))
+        keep = jnp.pad(keep, ((0, 0), (0, t_pad - t), (0, 0)))
     if b_out is None:
         b_out = jnp.zeros((d,), jnp.float32)
-    kernel_size = int(w.shape[0])
 
-    return pl.pallas_call(
+    def at(ti_off):
+        # neighbor tile, clamped into range; the kernel zeroes the halo at
+        # the true edges so the clamped duplicate is never observed
+        def index(bi, ti):
+            return (bi, jnp.clip(ti + ti_off, 0, nt - 1), 0)
+
+        return index
+
+    out = pl.pallas_call(
         functools.partial(
             _conv_glu_kernel, kernel_size=kernel_size, c=c
         ),
-        grid=(bsz,),
+        grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec((1, t, c2), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, tt, c2), at(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, c2), at(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, c2), at(+1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, 1), at(-1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, 1), at(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tt, 1), at(+1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kernel_size, c), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kernel_size, c), lambda bi: (0, 0),
+            pl.BlockSpec((1, c), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda bi: (0, 0),
+            pl.BlockSpec((c, d), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 1), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda bi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda bi: (0, 0),
+            pl.BlockSpec((1, d), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda bi: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, tt, d), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, d), proj.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, d), proj.dtype),
         interpret=interpret,
     )(
-        proj,
+        proj, proj, proj,
+        keep, keep, keep,
         w.astype(jnp.float32),
         b.astype(jnp.float32)[None, :],
-        keep,
         w_out.astype(proj.dtype),
         b_out.astype(jnp.float32)[None, :],
     )
+    return out[:, :t] if t_pad != t else out
