@@ -29,6 +29,11 @@ GUIDANCE = 1.0
 # wall-clock budget and are skipped (reported as null) otherwise.
 DEADLINE_SECONDS = float(__import__("os").environ.get("BENCH_DEADLINE", 1200))
 
+# process start: the deadline is measured from HERE, so backend-probe
+# retries (up to DEADLINE/3) count against the budget instead of on top of
+# it — a driver time-box around the process stays respected
+_PROCESS_T0 = time.monotonic()
+
 
 def _train_throughput(cfg):
     """One DP training step (regularizers live) on B=8 x 1024-frame batch.
@@ -350,13 +355,15 @@ def _probe_backend(attempt_timeout: float = 100.0, budget: float = 420.0):
         time.sleep(30)
 
 
-def _emit(value, detail, error=None):
+def _emit(value, detail, error=None, metric="inference_rtf_zipvoice123M_16step"):
     """Print the one-line JSON contract.  Called multiple times as results
     firm up; the driver takes the LAST parseable line, so each call
     supersedes the previous (and a mid-run kill still leaves the most
-    recent state on stdout)."""
+    recent state on stdout).  The mid-run heartbeat uses a DIFFERENT
+    metric name so a driver that greps for the headline metric can only
+    ever match a real result line."""
     line = {
-        "metric": "inference_rtf_zipvoice123M_16step",
+        "metric": metric,
         "value": None if value is None else round(value, 5),
         "unit": "rtf",
         "vs_baseline": (
@@ -385,7 +392,8 @@ def main():
     # heartbeat: a parseable line exists from here on even if the tunnel
     # dies mid-run and the process is killed while hung on a dispatch
     _emit(None, {"probe": probe_detail, "status": "backend up, measuring",
-                 "last_known": LAST_KNOWN}, error="incomplete")
+                 "last_known": LAST_KNOWN}, error="incomplete",
+          metric="bench_heartbeat")
     try:
         _main_impl(state)
     except BaseException as e:  # noqa: BLE001 — must never fail open
@@ -403,7 +411,7 @@ def main():
 def _main_impl(state):
     import jax
 
-    _T0 = time.monotonic()
+    _T0 = _PROCESS_T0  # probe time already spent counts against the budget
 
     # persistent compilation cache: the heavy programs (16-step sampler,
     # regularized train step) compile once per machine, not per run

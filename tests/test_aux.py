@@ -600,7 +600,6 @@ def test_instance_cache_concurrency():
     serialized distinct-shape TPU compiles); builder errors propagate to
     waiters and are not cached."""
     import threading
-    import time as _time
 
     from zipvoice_tpu.utils.memo import instance_cache
 
@@ -608,12 +607,16 @@ def test_instance_cache_concurrency():
         def __init__(self):
             self.calls = []
             self.gate = threading.Event()
+            import collections
+
+            self.started = collections.defaultdict(threading.Event)
 
         @instance_cache(maxsize=2)
         def build(self, key):
             self.calls.append(key)
             if key == "boom":
                 raise ValueError("boom")
+            self.started[key].set()
             self.gate.wait(5.0)  # simulate a slow compile
             return f"prog-{key}"
 
@@ -631,8 +634,10 @@ def test_instance_cache_concurrency():
                for k in ("a", "a", "c")]
     for t in threads:
         t.start()
-    _time.sleep(0.3)
-    # both builds are in flight concurrently (distinct keys don't serialize)
+    # both builds are in flight concurrently (distinct keys don't
+    # serialize) — handshake on per-key events, not a sleep, so a loaded
+    # CI box can't flake this
+    assert b.started["a"].wait(5.0) and b.started["c"].wait(5.0)
     assert sorted(b.calls) == ["a", "c"], b.calls
     b.gate.set()
     for t in threads:

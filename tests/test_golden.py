@@ -273,10 +273,14 @@ def test_battery_gates_on_backend_mismatch(tmp_path, monkeypatch):
     from zipvoice_tpu.eval.golden import check_tokenizer
 
     d = _write_model_dir(tmp_path, "zipvoice")
-    real = en_mod.fallback_phonemize_clause
-    monkeypatch.setattr(  # simulate a different engine's output
-        en_mod, "fallback_phonemize_clause",
-        lambda clause: "ʔʔ " + real(clause),
+    # simulate a WORKING different engine: espeak_phonemize dispatches on
+    # active_g2p_backend (unified in r4), so patch the whole function to
+    # emit fallback-plus-prefix — patching only the fallback would route
+    # dispatch into a nonexistent espeak binary and read as a crash,
+    # which is a different test
+    monkeypatch.setattr(
+        tok_mod, "espeak_phonemize",
+        lambda text, lang="en-us": ["ʔ"] + en_mod.fallback_phonemize(text),
     )
     monkeypatch.setattr(
         tok_mod, "active_g2p_backend", lambda lang="en-us": "espeak-ng"
@@ -334,5 +338,35 @@ def test_battery_crash_is_fail_not_gated(tmp_path, monkeypatch):
     monkeypatch.setattr(tok_mod, "hanzi_to_pinyin", boom)
     res = check_tokenizer("zipvoice", str(d))
     assert res["battery_failed"], res
+    assert res["sub"]["battery"] == "fail"
+    assert res["status"] == "fail"
+
+
+def test_battery_swallowed_crash_is_fail_even_under_backend_mismatch(
+    tmp_path, monkeypatch
+):
+    """The tokenizers mirror the reference's fail-soft: a broken G2P engine
+    logs a warning and yields [] rather than raising.  With goldens pinned
+    by the offline fallback and a BROKEN espeak-ng active, every EN entry
+    would land in `failed` as a mere mismatch — the backend-mismatch gate
+    must NOT read that as 'gated: re-pin'; an empty tokenization is a
+    crash and fails the battery."""
+    import zipvoice_tpu.text.tokenizer as tok_mod
+    from zipvoice_tpu.eval.golden import check_tokenizer
+
+    d = _write_model_dir(tmp_path, "zipvoice")
+
+    def broken_engine(text, lang="en-us"):
+        raise RuntimeError("espeak-ng subprocess died")
+
+    monkeypatch.setattr(tok_mod, "espeak_phonemize", broken_engine)
+    monkeypatch.setattr(
+        tok_mod, "active_g2p_backend", lambda lang="en-us": "espeak-ng"
+    )
+    res = check_tokenizer("zipvoice", str(d))
+    assert any(
+        v == "error: empty tokenization"
+        for v in res["battery_ids"].values()
+    ), res["battery_ids"]
     assert res["sub"]["battery"] == "fail"
     assert res["status"] == "fail"

@@ -596,3 +596,36 @@ def test_explicit_timesteps_schedule(model_dir):
     # _sample_fn must share ONE compiled program (a raw-args key would
     # compile twice, defeating warmup)
     assert pipe._sample_fn(3, 1.0, 0.5) is pipe._sample_fn(3, 1.0, 0.5, None)
+
+
+def test_pipeline_conflicting_int8_modes_rejected(model_dir):
+    """Two LIVE pipelines with different int8 modes cannot coexist (the
+    dynamic flag is a process-global trace-time binding); dropping the
+    first frees the mode."""
+    import gc
+
+    import jax
+
+    from zipvoice_tpu.nn import functional as F
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    kw = dict(
+        model_cfg=assets.model_cfg, feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    try:
+        p1 = ZipVoicePipeline(params=assets.params, quantize="int8", **kw)
+        with pytest.raises(ValueError, match="live pipeline"):
+            ZipVoicePipeline(params=assets.params, quantize="int8-dynamic",
+                             **kw)
+        # same mode coexists fine
+        ZipVoicePipeline(params=assets.params, quantize="int8", **kw)
+        del p1
+        gc.collect()
+        ZipVoicePipeline(params=assets.params, quantize="int8-dynamic", **kw)
+    finally:
+        F.set_int8_dynamic(False)

@@ -200,6 +200,17 @@ def check_tokenizer(
                 tok_cache[item["lang"]] = tok
             toks = tok.texts_to_tokens([item["text"]])[0]
             ids_out = tok.tokens_to_token_ids([toks])[0]
+            if not toks:
+                # the tokenizers mirror the reference's fail-soft (a G2P
+                # crash logs a warning and yields []) — but no battery
+                # entry legitimately tokenizes to nothing (pinning asserts
+                # non-empty), so [] here IS a swallowed crash and must not
+                # slip through the backend-mismatch gate below as a mere
+                # golden mismatch
+                produced[item["text"]] = "error: empty tokenization"
+                failed.append(item["text"])
+                crashed.append(item["text"])
+                continue
         except Exception as e:  # noqa: BLE001
             # ONLY a missing G2P backend counts as gated/pending; any other
             # exception is a real tokenizer crash and must FAIL the battery

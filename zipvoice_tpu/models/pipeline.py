@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import weakref
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -64,6 +65,14 @@ class _SampleInputs:
 class ZipVoicePipeline:
     """Host-side orchestration around the two jitted programs."""
 
+    # live int8-quantized pipelines.  The dynamic-activation flag is a
+    # process-global trace-time binding (nn.functional), so two LIVE
+    # pipelines with different int8 modes cannot coexist: constructing the
+    # second would silently flip the first one's numerics on its next
+    # retrace (and its clear_caches throws away multi-minute compiles).
+    # Weak references: discarded pipelines don't pin the mode forever.
+    _live_quantized = weakref.WeakSet()
+
     def __init__(
         self,
         params: Dict,
@@ -83,6 +92,25 @@ class ZipVoicePipeline:
         if quantize is not None:
             if quantize not in ("int8", "int8-dynamic"):
                 raise ValueError(f"unknown quantize mode {quantize!r}")
+            other = {
+                p.quantize for p in ZipVoicePipeline._live_quantized
+            } - {quantize}
+            if other:
+                # a discarded pipeline can linger in a self->jit-memo->self
+                # reference cycle; only a cycle collection proves liveness
+                import gc
+
+                gc.collect()
+                other = {
+                    p.quantize for p in ZipVoicePipeline._live_quantized
+                } - {quantize}
+            if other:
+                raise ValueError(
+                    f"a live pipeline uses quantize={other.pop()!r}; "
+                    f"constructing one with {quantize!r} would flip the "
+                    "process-global int8 trace mode under it (one process, "
+                    "one int8 mode — drop the other pipeline first)"
+                )
             from zipvoice_tpu.nn.functional import set_int8_dynamic
             from zipvoice_tpu.ops.quant import (
                 cast_quantized_tree,
@@ -101,6 +129,8 @@ class ZipVoicePipeline:
             # a dynamic one must not inherit the dynamic trace mode
             set_int8_dynamic(quantize == "int8-dynamic")
         self.quantize = quantize
+        if quantize is not None:
+            ZipVoicePipeline._live_quantized.add(self)
 
         self.params = jax.device_put(
             jax.tree.map(lambda a: jnp.asarray(a, dtype), params)

@@ -147,6 +147,7 @@ LEXICON: Dict[str, str] = {
     "answer": "ˈænsɚ", "often's": "ˈɔfənz", "women": "wˈɪmɪn",
     "busy": "bˈɪzi", "buy": "baɪ", "eyes": "aɪz", "heart": "hɑːɹt",
     "sure": "ʃʊɹ", "sugar": "ʃˈʊɡɚ", "says'": "sɛz",
+    "soccer": "sˈɑːkɚ",  # hard-k exception to the soft cc-before-e rule
 }
 
 # ---------------------------------------------------------------------------
@@ -213,7 +214,10 @@ RULES: Dict[str, List[Tuple[str, str, str, str]]] = {
     "b": [("", "bb", "", "b"), ("", "b", "$", "b"), ("", "b", "", "b")],
     "c": [
         ("", "ch", "", "tʃ"), ("", "ck", "", "k"),
-        ("", "cc", "ei", "ks"), ("", "cc", "", "k"),
+        # soft double-c before e/i (success, accident); the context
+        # language has no classes, so one rule per letter
+        ("", "cc", "e", "ks"), ("", "cc", "i", "ks"),
+        ("", "cc", "", "k"),
         ("", "c", "e", "s"), ("", "c", "i", "s"), ("", "c", "y", "s"),
         ("", "c", "", "k"),
     ],
