@@ -298,12 +298,7 @@ def rel_attention_probs(
     backward adds score_penalty * sign(s) * (|s| > penalty_limit) to the
     score cotangent, exactly like the XLA training path."""
     b, t = q.shape[0], q.shape[1]
-    if key_padding_mask is None:
-        bias = jnp.zeros((b, 1, t), jnp.float32)
-    else:
-        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
-            :, None, :
-        ]
+    bias = _bias_from_mask(key_padding_mask, b, t)
     if score_penalty is None:
         score_penalty = jnp.zeros((), jnp.float32)
     if penalty_valid_cols is None:
@@ -337,24 +332,13 @@ def rel_attention_probs_any(
     plumbing.  This keeps the fused kernel live for the downsampled
     interior stacks (t/2, t/4) whose lengths are rarely TILE-aligned."""
     t = q.shape[1]
-    t_pad = ((t + TILE - 1) // TILE) * TILE
-    if t_pad == t:
+    if t % TILE == 0:
         return rel_attention_probs(
             q, k, pq, pe, key_padding_mask, out_dtype, interpret,
             score_penalty, penalty_limit,
         )
-    d = t_pad - t
-    b = q.shape[0]
-    qp = jnp.pad(q, ((0, 0), (0, d), (0, 0), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, d), (0, 0), (0, 0)))
-    pqp = jnp.pad(pq, ((0, 0), (0, d), (0, 0), (0, 0)))
-    # pe row n encodes offset n-(t-1); re-center for t_pad by padding d rows
-    # of zeros on both sides: (2t-1) + 2d = 2*t_pad - 1
-    pep = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
-    if key_padding_mask is None:
-        key_padding_mask = jnp.zeros((b, t), bool)
-    maskp = jnp.pad(
-        key_padding_mask, ((0, 0), (0, d)), constant_values=True
+    _, (qp, kp, pqp), pep, maskp, _ = _pad_time_to_tile(
+        t, q.shape[0], (q, k, pq), pe, key_padding_mask
     )
     probs = rel_attention_probs(
         qp, kp, pqp, pep, maskp, out_dtype, interpret,
@@ -739,12 +723,7 @@ def rel_attention_apply(
     implements the detached const-attention branch for the head-0/nonlin
     consumer (ref zipformer.py:545-556)."""
     b, t = q.shape[0], q.shape[1]
-    if key_padding_mask is None:
-        bias = jnp.zeros((b, 1, t), jnp.float32)
-    else:
-        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
-            :, None, :
-        ]
+    bias = _bias_from_mask(key_padding_mask, b, t)
     if score_penalty is None:
         score_penalty = jnp.zeros((), jnp.float32)
     if const_gate is None:
@@ -776,20 +755,14 @@ def rel_attention_apply_any(
     get zero probability (and contribute 0 * v to the output); padded query
     rows are sliced away; the penalty is bounded to real key columns."""
     t = q.shape[1]
-    t_pad = ((t + TILE - 1) // TILE) * TILE
-    if t_pad == t:
+    if t % TILE == 0:
         return rel_attention_apply(
             q, k, pq, pe, key_padding_mask, v, out_dtype, interpret,
             score_penalty, penalty_limit, None, const_gate,
         )
-    d = t_pad - t
-    b = q.shape[0]
-    pad3 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
-    qp, kp, pqp, vp = pad3(q), pad3(k), pad3(pq), pad3(v)
-    pep = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
-    if key_padding_mask is None:
-        key_padding_mask = jnp.zeros((b, t), bool)
-    maskp = jnp.pad(key_padding_mask, ((0, 0), (0, d)), constant_values=True)
+    _, (qp, kp, pqp, vp), pep, maskp, _ = _pad_time_to_tile(
+        t, q.shape[0], (q, k, pq, v), pe, key_padding_mask
+    )
     out = rel_attention_apply(
         qp, kp, pqp, pep, maskp, vp, out_dtype, interpret,
         score_penalty, penalty_limit, t, const_gate,
@@ -892,12 +865,7 @@ def rel_attention_consume(
     const_gate marks the probs as the detached const-attention branch
     (ds = 0, dv through the recomputed const probabilities)."""
     b, t = q.shape[0], q.shape[1]
-    if key_padding_mask is None:
-        bias = jnp.zeros((b, 1, t), jnp.float32)
-    else:
-        bias = jnp.where(key_padding_mask, -1000.0, 0.0).astype(jnp.float32)[
-            :, None, :
-        ]
+    bias = _bias_from_mask(key_padding_mask, b, t)
     if score_penalty is None:
         score_penalty = jnp.zeros((), jnp.float32)
     if const_gate is None:
@@ -1005,6 +973,30 @@ def _bias_from_mask(key_padding_mask, b, t):
     ]
 
 
+def _pad_time_to_tile(t, b, bthd, pe, key_padding_mask, btc=()):
+    """Shared pad-and-slice preamble: pad the time axis of the (B, T, H, D)
+    arrays in ``bthd`` (and the (B, T, C) arrays in ``btc``) to the next
+    TILE multiple, re-center pe ((2t-1) + 2d = 2*t_pad - 1), and extend the
+    key-padding mask with True over the phantom keys (the -1000 bias makes
+    real rows normalize exactly as the unpadded softmax; padded query rows
+    are sliced away by the callers).  Returns
+    (t_pad, bthd, pe, mask, btc)."""
+    t_pad = ((t + TILE - 1) // TILE) * TILE
+    d = t_pad - t
+    if d:
+        bthd = tuple(
+            jnp.pad(a, ((0, 0), (0, d), (0, 0), (0, 0))) for a in bthd
+        )
+        btc = tuple(jnp.pad(a, ((0, 0), (0, d), (0, 0))) for a in btc)
+        pe = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
+        if key_padding_mask is None:
+            key_padding_mask = jnp.zeros((b, t), bool)
+        key_padding_mask = jnp.pad(
+            key_padding_mask, ((0, 0), (0, d)), constant_values=True
+        )
+    return t_pad, bthd, pe, key_padding_mask, btc
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def rel_attention_probs_consume(
     q: jax.Array,  # (B, T, H, qd)
@@ -1021,17 +1013,10 @@ def rel_attention_probs_consume(
     accumulation; any t (pad-and-slice, same correctness argument as
     rel_attention_probs_any)."""
     b, t, h, qd = q.shape
-    t_pad = ((t + TILE - 1) // TILE) * TILE
+    t_pad, (q, k, pq, v), pe, key_padding_mask, _ = _pad_time_to_tile(
+        t, b, (q, k, pq, v), pe, key_padding_mask
+    )
     d = t_pad - t
-    if d:
-        pad4 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
-        q, k, pq, v = pad4(q), pad4(k), pad4(pq), pad4(v)
-        pe = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
-        if key_padding_mask is None:
-            key_padding_mask = jnp.zeros((b, t), bool)
-        key_padding_mask = jnp.pad(
-            key_padding_mask, ((0, 0), (0, d)), constant_values=True
-        )
     tp = t_pad
     pd = pq.shape[-1]
     vd = v.shape[-1]
@@ -1097,18 +1082,10 @@ def rel_attention_head0_consume(
     The probs it recomputes are numerically identical to the probs kernel's
     head 0 (same tile ops on the same inputs)."""
     b, t, h, qd = q.shape
-    t_pad = ((t + TILE - 1) // TILE) * TILE
+    t_pad, (q, k, pq), pe, key_padding_mask, (v,) = _pad_time_to_tile(
+        t, b, (q, k, pq), pe, key_padding_mask, btc=(v,)
+    )
     d = t_pad - t
-    if d:
-        pad4 = lambda x: jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
-        q, k, pq = pad4(q), pad4(k), pad4(pq)
-        v = jnp.pad(v, ((0, 0), (0, d), (0, 0)))
-        pe = jnp.pad(pe, ((d, d), (0, 0), (0, 0)))
-        if key_padding_mask is None:
-            key_padding_mask = jnp.zeros((b, t), bool)
-        key_padding_mask = jnp.pad(
-            key_padding_mask, ((0, 0), (0, d)), constant_values=True
-        )
     tp = t_pad
     pd = pq.shape[-1]
     c = v.shape[-1]
