@@ -68,6 +68,10 @@ def main():
                     help="tiny model + CPU smoke test of the soak logic")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--remat", type=str, default="full",
+                    choices=["full", "all", "dots", "xprobs", "xprobs_ff"],
+                    help="rematerialization policy (run the soak with the "
+                         "profile_train winner)")
     args = ap.parse_args()
 
     import jax
@@ -80,9 +84,10 @@ def main():
         pass
 
     from zipvoice_tpu.config import ZipVoiceConfig
-    from zipvoice_tpu.nn.zipformer import set_scan_layers
+    from zipvoice_tpu.nn.zipformer import set_remat_policy, set_scan_layers
 
     set_scan_layers(True)
+    set_remat_policy(None if args.remat == "full" else args.remat)
     if args.tiny:
         import jax as _jax
 
