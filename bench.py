@@ -212,6 +212,58 @@ def _dialog_rtf(cfg_base, dtype) -> float:
     return float(np.min(times)) / SECONDS_OF_AUDIO
 
 
+def _int8_dynamic_rtf(cfg, params) -> float:
+    """16-step CFG sampler with int8 linear weights AND dynamic per-row
+    activation quantization — the s8xs8->s32 MXU path (2x bf16 peak on
+    v5e; the TPU analogue of the reference's onnxruntime dynamic MatMul
+    quant, ref onnx_export.py:384-400).  Same 10 s request shapes as the
+    headline.  Runs LAST among device measurements: toggling the dynamic
+    trace mode clears the jit caches (see nn.functional.set_int8_dynamic).
+    Fidelity rows live in tools/int8_rtf.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from zipvoice_tpu.models import zipvoice as zv
+    from zipvoice_tpu.nn.functional import set_int8_dynamic
+    from zipvoice_tpu.ops.quant import (
+        cast_quantized_tree,
+        quantize_linear_int8,
+    )
+
+    qparams = cast_quantized_tree(
+        quantize_linear_int8(jax.tree.map(
+            lambda a: np.asarray(a, np.float32), params)),
+        jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    t = 1024
+    tp = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 160)), jnp.int32)
+    tl = jnp.asarray([130], jnp.int32)
+    pf = jnp.asarray(
+        rng.standard_normal((1, t, cfg.feat_dim)) * 0.1, jnp.bfloat16)
+    plen = jnp.asarray([281], jnp.int32)
+    fl = jnp.asarray([938], jnp.int32)
+    noise = jnp.asarray(
+        rng.standard_normal((1, t, cfg.feat_dim)), jnp.bfloat16)
+
+    set_int8_dynamic(True)
+    try:
+        fn = jax.jit(lambda p, *a: zv.sample(
+            p, cfg, *a, num_step=NUM_STEP, guidance_scale=GUIDANCE,
+            t_shift=0.5))
+        out = fn(qparams, tp, tl, pf, plen, fl, noise)
+        float(np.asarray(out[0, 0, 0], np.float32))
+        times = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            out = fn(qparams, tp, tl, pf, plen, fl, noise)
+            float(np.asarray(out[0, 0, 0], np.float32))
+            times.append(time.monotonic() - t0)
+    finally:
+        set_int8_dynamic(False)
+    return float(np.min(times)) / SECONDS_OF_AUDIO
+
+
 def _vocoder_on_chip(feat_cfg, vocos_params, dtype, n: int = 50) -> float:
     """True on-chip vocoder cost: N decodes chained in a lax.scan so the
     remote-tunnel dispatch+readback latency amortizes away.  Measured r3:
@@ -605,6 +657,11 @@ def _main_impl(state):
     if budget_ok("dialog_rtf"):
         dialog_rtf = round(_dialog_rtf(cfg, dtype), 5)
         state["dialog_rtf_16step"] = dialog_rtf
+    int8_dyn_rtf = None
+    if budget_ok("int8_dynamic_rtf"):
+        # last device measurement: its trace-mode toggle clears jit caches
+        int8_dyn_rtf = round(_int8_dynamic_rtf(cfg, params), 5)
+        state["rtf_int8_dynamic_16step"] = int8_dyn_rtf
 
     # --- analytic FLOPs / MFU (VERDICT r2 weak #4: roofline-stable progress
     # metric instead of tunnel-jittered wall clock).  Shapes are the PADDED
@@ -662,6 +719,7 @@ def _main_impl(state):
                 str(k): round(v, 5) for k, v in distill_rtfs.items() if k != 8
             },
             "dialog_rtf_16step": dialog_rtf,
+            "rtf_int8_dynamic_16step": int8_dyn_rtf,
             "train_sec_audio_per_sec_per_chip": train_tp,
             "bf16_mel_mse_vs_f32": bf16_mse,
             "bf16_mel_mse_f32_closers": bf16_mse_closers,
