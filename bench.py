@@ -534,8 +534,20 @@ def _main_impl(state):
         t2 = time.monotonic()
         return wav, t1 - t0, t2 - t1
 
-    # warmup/compile
-    run()
+    # warmup/compile.  The default eval path runs the fused Pallas kernels
+    # (deferred-probs attention, tiled conv module); a Mosaic lowering
+    # failure on the real chip must degrade to the XLA paths — a slower
+    # RTF number beats an error line in the round's one driver capture.
+    try:
+        run()
+    except Exception as e:  # noqa: BLE001 — kernel-compile fallback
+        from zipvoice_tpu.nn import zipformer as _zf
+
+        state["fused_kernel_fallback"] = f"{type(e).__name__}: {str(e)[:200]}"
+        _zf.set_fused_attention(False)
+        _zf.set_fused_eval(False)
+        _zf.set_fused_conv(False)
+        run()
     # timed runs (min-of-8: device compute is deterministic, spread is
     # remote-tunnel transfer latency)
     times_model, times_voc, wav_secs = [], [], None
@@ -720,6 +732,9 @@ def _main_impl(state):
             },
             "dialog_rtf_16step": dialog_rtf,
             "rtf_int8_dynamic_16step": int8_dyn_rtf,
+            # non-null when the fused Pallas eval path failed to compile
+            # and the run degraded to XLA (see warmup fallback)
+            "fused_kernel_fallback": state.get("fused_kernel_fallback"),
             "train_sec_audio_per_sec_per_chip": train_tp,
             "bf16_mel_mse_vs_f32": bf16_mse,
             "bf16_mel_mse_f32_closers": bf16_mse_closers,
