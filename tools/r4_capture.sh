@@ -35,8 +35,12 @@ say "probe ok — starting queue"
 # 1) training remat A/B at full size (PROFILE_train_r4 = the 'full' baseline)
 run 2400 "train remat=full"      python tools/profile_train.py --remat full      --out /root/repo/PROFILE_train_r4.json
 run 2400 "train remat=xprobs"    python tools/profile_train.py --remat xprobs    --out /root/repo/PROFILE_train_r4_xprobs.json
-run 2400 "train remat=xprobs_ff" python tools/profile_train.py --remat xprobs_ff --out /root/repo/PROFILE_train_r4_xprobs_ff.json
-run 2400 "train remat=xprobs B16" python tools/profile_train.py --remat xprobs --batch 16 --out /root/repo/PROFILE_train_r4_xprobs_b16.json
+# xprobs_ff dropped: byte-identical buffer assignment to xprobs
+# (HBM_ACCOUNTING.json — the named exclusions are no-ops; the backward's
+# residuals are the untagged pre-activations).  B=16 runs with FULL remat:
+# the saved-residual policies roughly double their footprint at B=16 and
+# risk an OOM'd slot, while full remat stays ~6 GiB.
+run 2400 "train remat=full B16"  python tools/profile_train.py --remat full --batch 16 --out /root/repo/PROFILE_train_r4_b16.json
 
 # 2) eval-fusion A/B (PROFILE_r4 = fused; _unfused = r3 configuration)
 run 3000 "fm fused on"  python tools/profile_fm.py --fused-eval on  --fused-conv on  --out /root/repo/PROFILE_r4.json
@@ -50,5 +54,8 @@ run 2400 "int8 rtf" python tools/int8_rtf.py
 
 # 4) builder-side bench capture (full rows; driver re-runs this at round end)
 run 2400 "bench" env BENCH_DEADLINE=2100 python bench.py
+
+# merge whatever landed into R4_SUMMARY.json
+run 120 "summarize" python tools/summarize_r4.py
 
 say "queue done"

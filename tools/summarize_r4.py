@@ -3,8 +3,11 @@
 Reads (whichever exist):
   PROFILE_train_r4.json            (remat=full baseline)
   PROFILE_train_r4_xprobs.json
-  PROFILE_train_r4_xprobs_ff.json
-  PROFILE_train_r4_xprobs_b16.json
+  PROFILE_train_r4_xprobs_ff.json  (legacy; dropped from the queue —
+                                    byte-identical to xprobs, see
+                                    HBM_ACCOUNTING.json)
+  PROFILE_train_r4_b16.json        (remat=full at B=16)
+  PROFILE_train_r4_xprobs_b16.json (legacy name, still read if present)
   PROFILE_r4.json / PROFILE_r4_unfused.json   (eval-fusion A/B)
   INT8_RTF.json
 and prints a compact table + writes R4_SUMMARY.json with the winning remat
@@ -38,6 +41,7 @@ def main():
         ("full", "PROFILE_train_r4.json"),
         ("xprobs", "PROFILE_train_r4_xprobs.json"),
         ("xprobs_ff", "PROFILE_train_r4_xprobs_ff.json"),
+        ("full_b16", "PROFILE_train_r4_b16.json"),
         ("xprobs_b16", "PROFILE_train_r4_xprobs_b16.json"),
     ):
         d = _load(fname)
@@ -89,6 +93,15 @@ def main():
         print(f"fusion speedup: {out['eval_fusion']['speedup']}x")
 
     out["int8"] = _load("INT8_RTF.json")
+    hbm = _load("HBM_ACCOUNTING.json")
+    if hbm:
+        out["hbm_accounting"] = {
+            "backend": hbm.get("backend"),
+            "policies": {k: {kk: v.get(kk) for kk in
+                             ("temp_gib", "fits_v5e_16gib")}
+                         for k, v in hbm.get("policies", {}).items()
+                         if isinstance(v, dict)},
+        }
     (REPO / "R4_SUMMARY.json").write_text(json.dumps(out, indent=2))
     print("wrote R4_SUMMARY.json")
 

@@ -15,10 +15,12 @@ UNROLL_LAYERS_HELP = (
 REMAT_POLICY_HELP = (
     "activation rematerialization policy for the backward pass (see "
     "nn.zipformer.set_remat_policy); 'full' = recompute everything "
-    "(minimum memory, the default), 'xprobs' = save all layer activations "
-    "except the quadratic attention probabilities, 'xprobs_ff' = "
-    "additionally recompute ff/conv/nonlin hidden activations (middle "
-    "ground when HBM is tight)"
+    "(minimum memory, the default — and the measured on-chip optimum: "
+    "the backward is bandwidth-bound, so saved-activation policies gain "
+    "nothing; docs/training.md 'Remat policies and HBM accounting'), "
+    "'xprobs' = save layer activations, replaying only the attention "
+    "probs kernel; 'xprobs_ff' is a measured no-op vs 'xprobs' kept for "
+    "the A/B artifact"
 )
 
 

@@ -124,16 +124,24 @@ def set_remat_policy(name: Optional[str]):
       full remat in r3 (None 157.9 ms vs 'all' 159.8 at 123M/B=8/T=1024).
     * 'dots' — save matmul outputs, recompute elementwise (164.5 ms r3:
       also drowns in big-tensor traffic).
-    * 'xprobs' — save everything EXCEPT the named 'attn_probs' tensor: the
-      backward skips the layer-forward recompute but the one
-      quadratic-sized intermediate is recomputed by the flash consumer
-      kernels (which never read it from HBM in the backward anyway).
-    * 'xprobs_ff' — additionally recompute the feedforward hidden
-      activations ('ff_hidden', (B, T, ff_dim)), conv GLU mids
-      ('conv_mid') and nonlin-attention mids ('nonlin_mid'): the
-      next-largest tensors, each one cheap GEMM (+elementwise) to rebuild.
+    * 'xprobs' — save everything EXCEPT the named 'attn_probs' tensor.
+      On TPU this differs from 'all' only by one probs-kernel replay per
+      layer backward: the flash consumer custom-VJPs keep (q, k, pq, pe)
+      as residuals, never the probs, so the quadratic tensor is not in
+      the saved set of EITHER policy.
+    * 'xprobs_ff' — additionally names 'ff_hidden'/'conv_mid'/
+      'nonlin_mid' as not-saveable.  MEASURED NO-OP vs 'xprobs'
+      (HBM_ACCOUNTING.json: byte-identical buffer assignment): the
+      backward's residuals for Swoosh/GLU chains are the untagged
+      PRE-activations (Swoosh grads are functions of the input, and jax's
+      partial-eval already prefers saving the pre-activation and
+      replaying the elementwise tail), so excluding the post-activation
+      names removes nothing.  Kept selectable so the A/B artifact can
+      demonstrate that on chip; see docs/training.md "Remat policies and
+      HBM accounting".
 
-    Measured via tools/profile_train.py (PROFILE_train_r4.json).
+    Measured via tools/profile_train.py (PROFILE_train_r4*.json) and
+    tools/hbm_accounting.py (HBM_ACCOUNTING.json).
     """
     global _REMAT_POLICY
     assert name in (None, "all", "dots", "xprobs", "xprobs_ff"), name
