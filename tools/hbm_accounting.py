@@ -52,15 +52,23 @@ def main():
 
     import jax
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices()) if _backend_up() else False
-    if not on_tpu:
+    # Decide the platform BEFORE any in-process backend init: a
+    # jax_platforms update after jax.devices() is a silent no-op.  The
+    # probe is a subprocess (a downed tunnel hangs in-process init), and
+    # the accelerator check must recognize the image's 'axon' TPU plugin.
+    if _backend_up():
+        on_accel = jax.default_backend() in ("tpu", "axon")
+    else:
+        on_accel = False
+    if not on_accel:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     import numpy as np
 
+    from _train_program import make_loss_and_fwd_bwd
     from zipvoice_tpu.config import ZipVoiceConfig
-    from zipvoice_tpu.models.zipvoice import compute_fm_loss, init_zipvoice
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
     from zipvoice_tpu.nn.zipformer import set_remat_policy, set_scan_layers
     from zipvoice_tpu.train.scaled_adam import scaled_adam
     from zipvoice_tpu.train.schedules import zipvoice_schedules
@@ -83,24 +91,9 @@ def main():
     key = jax.random.PRNGKey(1)
     dtype = jnp.bfloat16
 
-    def loss_fn(p, batch_, rng_, schedules):
-        k_t, k_noise, k_mask = jax.random.split(rng_, 3)
-        features = batch_["features"].astype(dtype)
-        bb = features.shape[0]
-        tt = jax.random.uniform(k_t, (bb, 1, 1), dtype)
-        noise = jax.random.normal(k_noise, features.shape, dtype)
-        cparams = jax.tree.map(lambda a: a.astype(dtype), p)
-        return compute_fm_loss(
-            cparams, cfg, batch_["tokens"], batch_["tokens_lens"], features,
-            batch_["features_lens"], noise, tt, k_mask,
-            condition_drop_ratio=0.2, schedules=schedules,
-        )
-
-    def fwd_bwd(p, b_, k_, s_):
-        loss, g = jax.value_and_grad(loss_fn)(p, b_, k_, s_)
-        gsum = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
-                   for l in jax.tree.leaves(g))
-        return loss + 0.0 * gsum.astype(loss.dtype), gsum
+    # single-sourced in tools/_train_program.py: mirrors train/step.py's
+    # loss_fn exactly, so the accounting covers the real training program
+    _, fwd_bwd = make_loss_and_fwd_bwd(cfg, dtype)
 
     # persistent-state bytes that coexist with the step's temp buffers
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))

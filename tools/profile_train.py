@@ -43,8 +43,9 @@ def main():
 
     import jax.numpy as jnp
 
+    from _train_program import make_loss_and_fwd_bwd
     from zipvoice_tpu.config import ZipVoiceConfig
-    from zipvoice_tpu.models.zipvoice import compute_fm_loss, init_zipvoice
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
     from zipvoice_tpu.nn.zipformer import set_remat_policy, set_scan_layers
     from zipvoice_tpu.train.scaled_adam import apply_updates, scaled_adam
     from zipvoice_tpu.train.schedules import zipvoice_schedules
@@ -73,19 +74,9 @@ def main():
     dtype = jnp.bfloat16
     results = {}
 
-    # mirror train/step.py loss_fn exactly (same RNG splits / masks / dtype)
-    def loss_fn(p, batch_, rng_, schedules):
-        k_t, k_noise, k_mask = jax.random.split(rng_, 3)
-        features = batch_["features"].astype(dtype)
-        bb = features.shape[0]
-        tt = jax.random.uniform(k_t, (bb, 1, 1), dtype)
-        noise = jax.random.normal(k_noise, features.shape, dtype)
-        cparams = jax.tree.map(lambda a: a.astype(dtype), p)
-        return compute_fm_loss(
-            cparams, cfg, batch_["tokens"], batch_["tokens_lens"], features,
-            batch_["features_lens"], noise, tt, k_mask,
-            condition_drop_ratio=0.2, schedules=schedules,
-        )
+    # single-sourced in tools/_train_program.py: mirrors train/step.py's
+    # loss_fn exactly (same RNG splits / masks / dtype)
+    loss_fn, _fb = make_loss_and_fwd_bwd(cfg, dtype)
 
     def timeit(name, fn, n=10):
         t_c0 = time.monotonic()
@@ -104,14 +95,6 @@ def main():
         return per
 
     fwd = jax.jit(loss_fn)
-
-    def _fb(p, b_, k_, s_):
-        loss, g = jax.value_and_grad(loss_fn)(p, b_, k_, s_)
-        # consume every grad leaf so the backward cannot be dead-code
-        # eliminated (returning only the loss DCEs the whole backward)
-        gsum = sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in jax.tree.leaves(g))
-        return loss + 0.0 * gsum.astype(loss.dtype) + 0.0, gsum
-
     fwd_bwd = jax.jit(_fb)
 
     # full_step donates params/opt_state: keep a live copy for the other

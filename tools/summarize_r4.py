@@ -70,7 +70,7 @@ def main():
           and v.get("full_step_ms")}
     if b8:
         best = min(b8, key=lambda k: b8[k]["full_step_ms"])
-        out["train_remat"]["best_b8"] = best
+        out["best_remat_b8"] = best  # top level: train_remat holds row dicts only
         print(f"best remat policy at B=8: {best}")
 
     fused = _load("PROFILE_r4.json")
@@ -86,7 +86,8 @@ def main():
             }
             print(f"NFE {tag:8s} {nfe.get('us')} us  {nfe.get('pct_peak')}% peak")
     ef = out["eval_fusion"]
-    if "fused" in ef and "unfused" in ef and ef["unfused"]["nfe_us"]:
+    if ("fused" in ef and "unfused" in ef
+            and ef["unfused"]["nfe_us"] and ef["fused"]["nfe_us"]):
         out["eval_fusion"]["speedup"] = round(
             ef["unfused"]["nfe_us"] / ef["fused"]["nfe_us"], 3
         )
