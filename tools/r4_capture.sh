@@ -22,7 +22,7 @@ run() { # run <seconds> <name> <cmd...>
 }
 
 # cheap probe first so a dead tunnel fails fast instead of queueing hours
-if ! timeout 150 python -c "
+if ! timeout 360 python -c "
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((128,128), jnp.bfloat16)
 print('PROBE_OK', float(np.asarray(jax.jit(lambda a: a@a)(x))[0,0]))
@@ -34,12 +34,13 @@ say "probe ok — starting queue"
 
 # 1) training remat A/B at full size (PROFILE_train_r4 = the 'full' baseline)
 run 2400 "train remat=full"      python tools/profile_train.py --remat full      --out /root/repo/PROFILE_train_r4.json
-run 2400 "train remat=xprobs"    python tools/profile_train.py --remat xprobs    --out /root/repo/PROFILE_train_r4_xprobs.json
-# xprobs_ff dropped: byte-identical buffer assignment to xprobs
-# (HBM_ACCOUNTING.json — the named exclusions are no-ops; the backward's
-# residuals are the untagged pre-activations).  B=16 runs with FULL remat:
-# the saved-residual policies roughly double their footprint at B=16 and
-# risk an OOM'd slot, while full remat stays ~6 GiB.
+# 'dots' is the only saved-residual policy that FITS v5e HBM per
+# HBM_ACCOUNTING.json (9.9 GiB temp vs 17.8 for xprobs/all at B=8);
+# xprobs/xprobs_ff dropped from the queue: they exceed 16 GiB and the
+# named exclusions are no-ops (the backward's residuals are the untagged
+# pre-activations).  B=16 runs with FULL remat: saved-residual policies
+# roughly double their footprint at B=16, while full remat stays ~6 GiB.
+run 2400 "train remat=dots"      python tools/profile_train.py --remat dots      --out /root/repo/PROFILE_train_r4_dots.json
 run 2400 "train remat=full B16"  python tools/profile_train.py --remat full --batch 16 --out /root/repo/PROFILE_train_r4_b16.json
 
 # 2) eval-fusion A/B (PROFILE_r4 = fused; _unfused = r3 configuration)

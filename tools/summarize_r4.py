@@ -39,6 +39,7 @@ def main():
 
     for tag, fname in (
         ("full", "PROFILE_train_r4.json"),
+        ("dots", "PROFILE_train_r4_dots.json"),
         ("xprobs", "PROFILE_train_r4_xprobs.json"),
         ("xprobs_ff", "PROFILE_train_r4_xprobs_ff.json"),
         ("full_b16", "PROFILE_train_r4_b16.json"),
