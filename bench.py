@@ -370,12 +370,14 @@ PROBE_SCRIPT = (
 )
 
 
-def _probe_backend(attempt_timeout: float = 100.0, budget: float = 420.0):
+def _probe_backend(attempt_timeout: float = 280.0, budget: float = 420.0):
     """Timeout-wrapped subprocess probe of the TPU backend (tiny matmul +
     host readback).  The observed outage mode is an indefinite hang inside
     backend init (CLAUDE.md 2026-08-17), which no in-process guard can
     escape — hence the subprocess.  Retries with backoff within ``budget``.
-    Returns (ok, detail_str)."""
+    ``attempt_timeout`` must exceed a HEALTHY tunnel's per-process backend
+    init (measured ~200 s on 2026-08-19); a shorter window turns slow-but-up
+    into a false "unavailable".  Returns (ok, detail_str)."""
     import subprocess
     import sys
 
