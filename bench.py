@@ -39,10 +39,20 @@ def _train_throughput(cfg):
     """One DP training step (regularizers live) on B=8 x 1024-frame batch.
     Returns (sec_audio_per_sec_per_chip, step_seconds, (batch, frames)).  Uses scan-of-remat layers:
     bounded backward memory and minutes-not-tens-of-minutes compiles, at
-    ~25% step-time cost vs fully unrolled."""
+    ~25% step-time cost vs fully unrolled.
+
+    Instrumentation (r5, VERDICT r4 next #4b): the batch is device_put
+    ONCE and the timed loop dispatches against the device-resident arrays
+    — the r4 version re-uploaded a 3.3 MB numpy batch over the tunnel
+    every step, under-measuring throughput ~1.7x (bench 414 vs
+    PROFILE_train_r4's 121.92 ms step = ~700 s-audio/s).  Python-side
+    dispatches pipeline (no host sync inside the loop; the single loss
+    read at the end is the only barrier), matching tools/profile_train.py
+    within dispatch jitter."""
     import time
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from zipvoice_tpu.nn.zipformer import set_scan_layers
@@ -62,6 +72,8 @@ def _train_throughput(cfg):
         "features": rng.standard_normal((b, t, cfg.feat_dim)).astype(np.float32),
         "features_lens": np.full((b,), 1000, np.int32),
     }
+    audio_seconds = float(np.sum(batch["features_lens"])) * 256 / 24000
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}  # upload once
     params = init_zipvoice(jax.random.PRNGKey(0), cfg)
     opt = scaled_adam(clipping_scale=2.0)
     opt_state = opt.init(params)
@@ -81,7 +93,6 @@ def _train_throughput(cfg):
                                     np.int32(i + 2), np.float32(0), sched)
     float(m["loss"])
     step_time = (time.monotonic() - t0) / n
-    audio_seconds = float(np.sum(batch["features_lens"])) * 256 / 24000
     return audio_seconds / step_time, step_time, (b, t)
 
 
@@ -353,12 +364,15 @@ def _bf16_fidelity(cfg, feat_cfg):
 LAST_KNOWN = {
     "inference_rtf_zipvoice123M_16step": 0.01823,
     "provenance": "BENCH_r02.json (driver-captured)",
-    "builder_measured_r3": {
-        "rtf_fused": 0.01457,
-        "rtf_fused_on_chip_est": 0.0099,
-        "mfu_infer_fused": 0.256,
-        "train_sec_audio_per_sec_per_chip": 680.0,
-        "provenance": "PROFILE_r3.json + CLAUDE.md (builder-side, pre-outage)",
+    "builder_measured_r4": {
+        "rtf_fused": 0.01547,
+        "rtf_bf16_sampler_only": 0.00998,
+        "serving_b8_audio_sec_per_sec": 1575.0,
+        "train_full_step_ms_b8": 121.92,
+        "mfu_train_b16": 0.1705,
+        "provenance": "R4_CAPTURE.log + R4_SUMMARY.json (builder capture, "
+                      "2026-08-19; fused-eval defaults since flipped off — "
+                      "unfused measured faster)",
     },
 }
 
@@ -370,14 +384,21 @@ PROBE_SCRIPT = (
 )
 
 
-def _probe_backend(attempt_timeout: float = 280.0, budget: float = 420.0):
+def _probe_backend(attempt_timeout: float = 360.0, budget: float = 780.0):
     """Timeout-wrapped subprocess probe of the TPU backend (tiny matmul +
     host readback).  The observed outage mode is an indefinite hang inside
     backend init (CLAUDE.md 2026-08-17), which no in-process guard can
-    escape — hence the subprocess.  Retries with backoff within ``budget``.
-    ``attempt_timeout`` must exceed a HEALTHY tunnel's per-process backend
-    init (measured ~200 s on 2026-08-19); a shorter window turns slow-but-up
-    into a false "unavailable".  Returns (ok, detail_str)."""
+    escape — hence the subprocess.
+
+    A HEALTHY tunnel spends ~200 s in backend init per process and has been
+    observed needing more (the r4 driver capture lost its number to one
+    280 s attempt on a tunnel that served a full queue 40 min earlier), so
+    each attempt gets a 360 s window and the default budget fits TWO full
+    attempts plus the inter-attempt pause.  When the remaining budget is
+    shorter than a full window the attempt still runs with the clamped
+    window (and the failure detail records the clamp) rather than giving
+    up — a short late attempt can still catch an already-warm tunnel.
+    Returns (ok, detail_str)."""
     import subprocess
     import sys
 
@@ -389,7 +410,7 @@ def _probe_backend(attempt_timeout: float = 280.0, budget: float = 420.0):
         # each attempt is clamped to the REMAINING budget, so a small
         # BENCH_DEADLINE cannot be overrun by one long hung probe
         this_timeout = min(
-            attempt_timeout, max(15.0, budget - (time.monotonic() - t0))
+            attempt_timeout, max(60.0, budget - (time.monotonic() - t0))
         )
         try:
             r = subprocess.run(
@@ -403,10 +424,16 @@ def _probe_backend(attempt_timeout: float = 280.0, budget: float = 420.0):
                 + (r.stderr or r.stdout).strip()[-300:]
             )
         except subprocess.TimeoutExpired:
-            detail = f"probe timed out after {this_timeout:.0f}s"
-        if time.monotonic() - t0 + 30 + attempt_timeout > budget:
+            detail = (
+                f"probe timed out after {this_timeout:.0f}s window"
+                + (
+                    f" (clamped from {attempt_timeout:.0f}s by budget)"
+                    if this_timeout < attempt_timeout else ""
+                )
+            )
+        if time.monotonic() - t0 + 15 + 60.0 > budget:
             return False, f"{detail} (gave up after {attempt} attempts)"
-        time.sleep(30)
+        time.sleep(15)
 
 
 def _emit(value, detail, error=None, metric="inference_rtf_zipvoice123M_16step"):
@@ -436,8 +463,11 @@ def main():
     import sys
 
     state = {}  # mutated by _main_impl as measurements land
+    # floor the budget at one full 360 s attempt window even for small
+    # BENCH_DEADLINE (a sub-init-time window reads slow-but-up as DOWN);
+    # at the default 1200 s deadline this allows two full attempts
     ok, probe_detail = _probe_backend(
-        budget=min(420.0, DEADLINE_SECONDS / 3)
+        budget=max(360.0, min(780.0, DEADLINE_SECONDS * 0.65))
     )
     if not ok:
         _emit(None, {"probe": probe_detail, "last_known": LAST_KNOWN},
@@ -536,10 +566,11 @@ def _main_impl(state):
         t2 = time.monotonic()
         return wav, t1 - t0, t2 - t1
 
-    # warmup/compile.  The default eval path runs the fused Pallas kernels
-    # (deferred-probs attention, tiled conv module); a Mosaic lowering
-    # failure on the real chip must degrade to the XLA paths — a slower
-    # RTF number beats an error line in the round's one driver capture.
+    # warmup/compile.  The default eval path runs the shared-probs Pallas
+    # kernel (fused consumers are OFF by default since r5 — the r4 A/B
+    # measured unfused faster); a Mosaic lowering failure on the real chip
+    # must degrade to the XLA paths — a slower RTF number beats an error
+    # line in the round's one driver capture.
     try:
         run()
     except Exception as e:  # noqa: BLE001 — kernel-compile fallback

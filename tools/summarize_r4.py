@@ -2,6 +2,8 @@
 
 Reads (whichever exist):
   PROFILE_train_r4.json            (remat=full baseline)
+  PROFILE_train_r4_dots.json       (remat=dots — the only saved-residual
+                                    policy that fits v5e HBM)
   PROFILE_train_r4_xprobs.json
   PROFILE_train_r4_xprobs_ff.json  (legacy; dropped from the queue —
                                     byte-identical to xprobs, see

@@ -128,25 +128,67 @@ def main():
     w_out = jnp.asarray(rng.standard_normal((cc, dd)) * 0.1, jnp.float32)
     b_out = jnp.asarray(rng.standard_normal((dd,)) * 0.1, jnp.float32)
 
-    def conv_xla(proj):
-        vv, ss = jnp.split(proj, 2, axis=-1)
-        vv = vv * jax.nn.sigmoid(ss)
-        vv = jnp.where(mask[:, :, None], 0.0, vv)
-        out = jax.lax.conv_general_dilated(
-            vv, w_dw[:, None, :], window_strides=(1,),
-            padding=((kk // 2, kk // 2),),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=cc,
-        ) + b_dw
-        return swoosh_r(out) @ w_out + b_out
+    def conv_f64(proj_, mask_):
+        """Host f64 ground truth for the fused conv module middle — the
+        arbiter between the Pallas kernel and the XLA twin (the r4 capture
+        measured them 1.39e-3 apart on chip with no way to tell which side
+        was wrong; VERDICT r4 next #1a).  Same math as conv_glu_swoosh_out
+        and nn/zipformer._conv_module (ref zipformer.py:1638-1680)."""
+        p = np.asarray(proj_, np.float64)
+        vv, ss = p[..., :cc], p[..., cc:]
+        vv = vv / (1.0 + np.exp(-ss))
+        vv = np.where(np.asarray(mask_)[:, :, None], 0.0, vv)
+        pad = kk // 2
+        vp = np.pad(vv, ((0, 0), (pad, pad), (0, 0)))
+        w64 = np.asarray(w_dw, np.float64)
+        out = sum(
+            w64[i] * vp[:, i : i + p.shape[1]] for i in range(kk)
+        ) + np.asarray(b_dw, np.float64)
+        y = (
+            np.logaddexp(0.0, out - 1.0) - 0.08 * out - 0.313261687
+        )
+        return y @ np.asarray(w_out, np.float64) + np.asarray(
+            b_out, np.float64
+        )
 
-    cg_kernel = np.asarray(jax.jit(
-        lambda p: conv_glu_swoosh_out(p, w_dw, b_dw, mask, w_out, b_out)
-    )(proj), np.float32)
-    cg_xla = np.asarray(jax.jit(conv_xla)(proj), np.float32)
-    cg_err = float(np.abs(cg_kernel - cg_xla).max())
-    report["checks"]["conv_glu_max_err"] = cg_err
-    assert cg_err < 1e-4, cg_err
+    def check_conv(tag, proj_, mask_):
+        """Compare the compiled kernel AND its XLA twin against f64.
+
+        The pass criterion is relative: the kernel must be no farther from
+        the f64 truth than ~2x the XLA production path (both run MXU
+        matmuls/convs at default precision, so a shared f32->bf16-passes
+        rounding floor is expected and acceptable; a LOWERING bug shows up
+        as kernel_err >> xla_err)."""
+
+        def conv_xla(p):
+            vv, ss = jnp.split(p, 2, axis=-1)
+            vv = vv * jax.nn.sigmoid(ss)
+            vv = jnp.where(mask_[:, :, None], 0.0, vv)
+            out = jax.lax.conv_general_dilated(
+                vv, w_dw[:, None, :], window_strides=(1,),
+                padding=((kk // 2, kk // 2),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=cc,
+            ) + b_dw
+            return swoosh_r(out) @ w_out + b_out
+
+        cg_kernel = np.asarray(jax.jit(
+            lambda p: conv_glu_swoosh_out(p, w_dw, b_dw, mask_, w_out, b_out)
+        )(proj_), np.float32)
+        cg_xla = np.asarray(jax.jit(conv_xla)(proj_), np.float32)
+        truth = conv_f64(proj_, mask_)
+        err_kernel = float(np.abs(cg_kernel - truth).max())
+        err_xla = float(np.abs(cg_xla - truth).max())
+        report["checks"][f"conv_glu{tag}_kernel_vs_f64"] = err_kernel
+        report["checks"][f"conv_glu{tag}_xla_vs_f64"] = err_xla
+        report["checks"][f"conv_glu{tag}_kernel_vs_xla"] = float(
+            np.abs(cg_kernel - cg_xla).max()
+        )
+        assert err_kernel < max(2.0 * err_xla, 5e-5), (
+            tag, err_kernel, err_xla,
+        )
+
+    check_conv("", proj, mask)
 
     # same kernel at t=512 — exercises the 256-row time tile (t=384 above
     # runs the 128-tile config; both must compile and agree on chip)
@@ -154,26 +196,7 @@ def main():
         rng.standard_normal((b, 512, 2 * cc)) * 0.5, jnp.float32)
     mask512 = jnp.asarray(
         np.arange(512)[None, :] >= np.array([512, 512 - 57])[:, None])
-
-    def conv_xla_512(p):
-        vv, ss = jnp.split(p, 2, axis=-1)
-        vv = vv * jax.nn.sigmoid(ss)
-        vv = jnp.where(mask512[:, :, None], 0.0, vv)
-        out = jax.lax.conv_general_dilated(
-            vv, w_dw[:, None, :], window_strides=(1,),
-            padding=((kk // 2, kk // 2),),
-            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=cc,
-        ) + b_dw
-        return swoosh_r(out) @ w_out + b_out
-
-    cg512_kernel = np.asarray(jax.jit(
-        lambda p: conv_glu_swoosh_out(p, w_dw, b_dw, mask512, w_out, b_out)
-    )(proj512), np.float32)
-    cg512_err = float(np.abs(
-        cg512_kernel - np.asarray(jax.jit(conv_xla_512)(proj512), np.float32)
-    ).max())
-    report["checks"]["conv_glu_t512_max_err"] = cg512_err
-    assert cg512_err < 1e-4, cg512_err
+    check_conv("_t512", proj512, mask512)
 
     # --- fused mel kernel vs the XLA vocos path (same framing as
     # tests/test_melspec_kernel.py, compiled instead of interpreted)

@@ -72,7 +72,13 @@ def set_fused_apply(enabled: bool):
 # tensor (rel_attention_head0_consume).  Same math (scores depend only on
 # the layer input); removes one full (B, H, T, T) HBM read + the head-0
 # slice read per layer.  SelfAttention-2 keeps the shared-probs read.
-_FUSED_EVAL: bool = True
+#
+# DEFAULT OFF: the round-4 on-chip A/B measured the fusions as a net LOSS
+# (R4_SUMMARY.json eval_fusion: fused NFE 3928.7 us vs unfused 3707.9,
+# speedup 0.944x — the deferred-probs consumers ran at 6-11% of peak), so
+# the shared-probs path ships as the default until a capture shows the
+# fused path winning.  Toggle for A/Bs via set_fused_eval / profile_fm.
+_FUSED_EVAL: bool = False
 
 
 def set_fused_eval(enabled: bool):
@@ -86,7 +92,12 @@ def set_fused_eval(enabled: bool):
 # Eval-only: fuse the ConvolutionModule middle (GLU gate -> depthwise conv
 # -> SwooshR -> out projection) into one Pallas kernel (ops/convglu.py) —
 # collapses ~6 HBM tensor passes to read-proj + write-out.
-_FUSED_CONV: bool = True
+#
+# DEFAULT OFF, same round-4 evidence as _FUSED_EVAL (the unfused NFE was
+# the measured winner, and the r4 on-chip kernel check flagged a 1.39e-3
+# disagreement vs the XLA twin — see tools/tpu_kernel_check.py, which now
+# bounds kernel AND oracle against an f64 ground truth).
+_FUSED_CONV: bool = False
 
 
 def set_fused_conv(enabled: bool):
