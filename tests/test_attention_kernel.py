@@ -565,11 +565,18 @@ def _interp_patch(monkeypatch):
         kw["interpret"] = True
         return real_h0(*a, **kw)
 
+    real_pa = att.rel_attention_probs_apply
+
+    def pa_i(*a, **kw):
+        kw["interpret"] = True
+        return real_pa(*a, **kw)
+
     monkeypatch.setattr(att, "rel_attention_probs_any", probs_i)
     monkeypatch.setattr(att, "rel_attention_apply_any", apply_i)
     monkeypatch.setattr(att, "rel_attention_consume", consume_i)
     monkeypatch.setattr(att, "rel_attention_probs_consume", pc_i)
     monkeypatch.setattr(att, "rel_attention_head0_consume", h0_i)
+    monkeypatch.setattr(att, "rel_attention_probs_apply", pa_i)
 
 
 def test_layer_fused_kernel_matches_xla_eval(monkeypatch):
@@ -834,3 +841,23 @@ def test_layer_fused_eval_deferred_probs_matches_xla(monkeypatch):
     out_x = np.asarray(run(False, False))
     np.testing.assert_allclose(out_deferred, out_x, atol=2e-5)
     np.testing.assert_allclose(out_top, out_x, atol=2e-5)
+
+
+@pytest.mark.parametrize("vd,h", [(12, 4), (288, 1), (8, 2)])
+def test_probs_apply_matches_einsum(vd, h):
+    """rel_attention_probs_apply (the r5 lane-padded shared-probs consume)
+    must equal the XLA einsum exactly on the real lanes — padding adds
+    only exact-zero lanes that are sliced off."""
+    from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+    b, t = 2, 128
+    rng = np.random.default_rng(31)
+    logits = rng.standard_normal((b, h, t, t)).astype(np.float32)
+    probs = jnp.asarray(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    )
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    ref = np.asarray(jnp.einsum("bhts,bshd->bthd", probs, v,
+                                preferred_element_type=jnp.float32))
+    out = np.asarray(rel_attention_probs_apply(probs, v, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -383,3 +383,34 @@ def test_export_cli_with_timesteps(tmp_path, monkeypatch):
         num_step=99, timesteps=(0.0, 0.4, 0.8, 1.0),
     ))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_int8_fidelity_closers_stay_unquantized():
+    """The r5 fidelity closers (VERDICT r4 next #5): the model-level
+    velocity/output head, the conditioning in_proj, and every time-embed
+    MLP keep their full-precision 'weight' under quantize_linear_int8;
+    per-layer module projections still quantize."""
+    import jax
+
+    from zipvoice_tpu.config import ZipVoiceConfig
+    from zipvoice_tpu.models.zipvoice import init_zipvoice
+    from zipvoice_tpu.ops.quant import quantize_linear_int8
+
+    from tests.test_variants import TINY
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=30, pad_id=0)
+    params = init_zipvoice(jax.random.PRNGKey(0), cfg)
+    q = quantize_linear_int8(params, min_elems=1)
+
+    # closers keep "weight"
+    assert "weight" in q["fm_decoder"]["out_proj"]
+    assert "weight" in q["fm_decoder"]["in_proj"]
+    assert "weight" in q["fm_decoder"]["time_embed"]["0"]
+    assert "weight" in q["fm_decoder"]["time_embed"]["2"]
+    stack0 = q["fm_decoder"]["encoders"]["0"]
+    enc0 = stack0["encoder"] if "encoder" in stack0 else stack0
+    assert "weight" in enc0["time_emb"]["1"]
+    # per-layer projections still quantize (incl. their module out_projs)
+    layer = enc0["layers"]["0"]
+    assert "weight_int8" in layer["self_attn1"]["out_proj"]
+    assert "weight_int8" in layer["feed_forward1"]["in_proj"]

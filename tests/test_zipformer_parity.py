@@ -204,11 +204,12 @@ def test_scan_vs_unrolled_layers_and_remat_policy():
 
 
 def test_named_remat_policies_match_full_remat():
-    """'xprobs' / 'xprobs_ff' (save-everything-except-named-tensors, the
-    training-MFU policies — see zipformer.set_remat_policy) must produce
-    identical loss and gradients to the default full-remat scan on the REAL
-    training path (compute_fm_loss with live TrainCtx regularizers: same RNG
-    splits, so results are bitwise-comparable up to reduction order)."""
+    """'xprobs' / 'names' (the named-tensor remat policies — see
+    zipformer.set_remat_policy; 'names' is the r5 save-only-tagged set that
+    fits v5e HBM) must produce identical loss and gradients to the default
+    full-remat scan on the REAL training path (compute_fm_loss with live
+    TrainCtx regularizers: same RNG splits, so results are
+    bitwise-comparable up to reduction order)."""
     import jax
     import jax.numpy as jnp
 
@@ -249,14 +250,16 @@ def test_named_remat_policies_match_full_remat():
         # test_scan_vs_unrolled_layers_and_remat_policy; each policy here
         # costs a full train-path value_and_grad compile (~2 min CPU), so
         # this test carries only the baseline + the two MFU policies
-        for pol in (None, "xprobs", "xprobs_ff"):
+        # ('xprobs_ff' is byte-identical to 'xprobs' per HBM_ACCOUNTING;
+        # 'names' is the r5 save-only-tagged policy)
+        for pol in (None, "xprobs", "names"):
             zf.set_remat_policy(pol)
             results[pol] = run()
     finally:
         zf.set_remat_policy(None)
 
     l0, g0 = results[None]
-    for pol in ("xprobs", "xprobs_ff"):
+    for pol in ("xprobs", "names"):
         l, g = results[pol]
         np.testing.assert_allclose(l, l0, rtol=1e-6, err_msg=str(pol))
         for a, b_ in zip(jax.tree_util.tree_leaves(g0),

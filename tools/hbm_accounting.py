@@ -39,7 +39,7 @@ sys.path.insert(0, "/root/repo")
 
 V5E_HBM_GIB = 16.0
 
-POLICIES = ("full", "dots", "xprobs", "xprobs_ff", "all")
+POLICIES = ("full", "dots", "names", "xprobs", "xprobs_ff", "all")
 
 
 def main():

@@ -9,7 +9,7 @@ live — the exact bench._train_throughput configuration):
 so the step budget splits into fwd / bwd / optimizer, and the remat
 recompute cost is visible as (2) vs 3x(1).
 
---remat {full,all,dots,xprobs,xprobs_ff} selects the rematerialization
+--remat {full,all,dots,xprobs,xprobs_ff,names} selects the rematerialization
 policy (nn.zipformer.set_remat_policy) for the A/B demanded by the r3
 verdict; --batch/--frames pick the shape; --out the artifact path.
 """
@@ -29,9 +29,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--remat", type=str, default="full",
-                    choices=["full", "all", "dots", "xprobs", "xprobs_ff"])
+                    choices=["full", "all", "dots", "xprobs", "xprobs_ff", "names"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=1024)
+    ap.add_argument("--bwd-shear-adj", type=str, default="matmul",
+                    choices=["matmul", "flip"],
+                    help="attention-backward shear-adjoint formulation "
+                         "(ops.attention.set_bwd_shear_adj A/B)")
     ap.add_argument("--out", type=str,
                     default="/root/repo/PROFILE_train_r4.json")
     args = ap.parse_args()
@@ -54,6 +58,9 @@ def main():
 
     set_scan_layers(True)
     set_remat_policy(None if args.remat == "full" else args.remat)
+    from zipvoice_tpu.ops.attention import set_bwd_shear_adj
+
+    set_bwd_shear_adj(args.bwd_shear_adj)
 
     cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
     rng = np.random.default_rng(0)
@@ -135,6 +142,7 @@ def main():
         "mfu_fwd_only": round((flops / 3) / s_fwd / 1e12 / peak, 4),
         "device": jax.devices()[0].device_kind,
         "remat_policy": args.remat,
+        "bwd_shear_adj": args.bwd_shear_adj,
         "batch": b,
         "frames": t,
     }

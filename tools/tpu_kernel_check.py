@@ -89,6 +89,52 @@ def main():
         report["checks"][f"consume_grad_{name}_rel_err"] = rel
         assert rel < 2e-3, (name, rel)
 
+    # --- flip-mode shear adjoint (r5): same consume grads with the
+    # anti-identity matmul reversals replaced by lax.rev on sublanes.
+    # Mosaic support for a sublane rev is a hardware question — a lowering
+    # failure is recorded (the mode then stays off) instead of failing the
+    # whole check.
+    from zipvoice_tpu.ops.attention import set_bwd_shear_adj
+
+    try:
+        set_bwd_shear_adj("flip")
+        g_f = jax.jit(jax.grad(loss_consume, argnums=(0, 1, 2, 3, 4)))(
+            q, k, pq, pe, v)
+        for name, a, b_ in zip("q k pq pe v".split(), g_f, g_x):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            rel = float(np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6))
+            report["checks"][f"flip_grad_{name}_rel_err"] = rel
+            assert rel < 2e-3, (name, rel)
+        report["checks"]["bwd_shear_adj_flip"] = "ok"
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — lowering not supported
+        report["checks"]["bwd_shear_adj_flip"] = (
+            f"unsupported: {type(e).__name__}: {str(e)[:200]}"
+        )
+    finally:
+        set_bwd_shear_adj("matmul")
+
+    # --- r5 lane-padded shared-probs consume (rel_attention_probs_apply)
+    from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+    t128 = 256
+    q2, k2 = q[:, :t128], k[:, :t128]
+    pq2, pe2 = pq[:, :t128], pe[t - t128 : t + t128 - 1]
+    mask2 = mask[:, :t128]
+    v2 = v[:, :t128]
+    p2 = np.asarray(jax.jit(
+        lambda *a: rel_attention_probs_any(*a, out_dtype=jnp.float32)
+    )(q2, k2, pq2, pe2, mask2), np.float32)
+    pa_kernel = np.asarray(jax.jit(rel_attention_probs_apply)(
+        jnp.asarray(p2), v2), np.float32)
+    pa_xla = np.asarray(jnp.einsum(
+        "bhts,bshd->bthd", jnp.asarray(p2), v2,
+        preferred_element_type=jnp.float32), np.float32)
+    pa_err = float(np.abs(pa_kernel - pa_xla).max())
+    report["checks"]["probs_apply_max_err"] = pa_err
+    assert pa_err < 1e-4, pa_err
+
     # --- round-4 eval fusions, compiled vs their XLA twins -----------------
     from zipvoice_tpu.ops.attention import (
         rel_attention_head0_consume,

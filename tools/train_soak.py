@@ -69,7 +69,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--remat", type=str, default="full",
-                    choices=["full", "all", "dots", "xprobs", "xprobs_ff"],
+                    choices=["full", "all", "dots", "xprobs", "xprobs_ff", "names"],
                     help="rematerialization policy (run the soak with the "
                          "profile_train winner)")
     args = ap.parse_args()

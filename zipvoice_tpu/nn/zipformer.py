@@ -150,12 +150,20 @@ def set_remat_policy(name: Optional[str]):
       names removes nothing.  Kept selectable so the A/B artifact can
       demonstrate that on chip; see docs/training.md "Remat policies and
       HBM accounting".
+    * 'names' — save ONLY the tagged residuals (attn_probs + the ff/conv/
+      nonlin mids), recompute everything else.  The r4 accounting left a
+      void between dots (9.9 GiB, measured slower than full remat) and
+      xprobs (17.8 GiB, OOM on v5e); this saves the tensors whose replay
+      is the expensive part of the layer forward (the Pallas probs kernel
+      and the wide in_proj GEMM outputs) while skipping the untagged
+      bulk — sized by tools/hbm_accounting.py, measured by
+      tools/profile_train.py --remat names (VERDICT r4 next #2).
 
     Measured via tools/profile_train.py (PROFILE_train_r4*.json) and
     tools/hbm_accounting.py (HBM_ACCOUNTING.json).
     """
     global _REMAT_POLICY
-    assert name in (None, "all", "dots", "xprobs", "xprobs_ff"), name
+    assert name in (None, "all", "dots", "xprobs", "xprobs_ff", "names"), name
     if name != _REMAT_POLICY:
         _REMAT_POLICY = name
         jax.clear_caches()
@@ -180,6 +188,13 @@ def _layer_checkpoint(fn):
         return jax.checkpoint(
             fn,
             policy=cp.save_anything_except_these_names(
+                "attn_probs", "ff_hidden", "conv_mid", "nonlin_mid"
+            ),
+        )
+    if _REMAT_POLICY == "names":
+        return jax.checkpoint(
+            fn,
+            policy=cp.save_only_these_names(
                 "attn_probs", "ff_hidden", "conv_mid", "nonlin_mid"
             ),
         )
@@ -653,6 +668,17 @@ def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
             a.q, a.k, a.pq, a.pe, a.mask, a.probs, v,
             score_penalty=a.pen if use_pen else None, penalty_limit=25.0,
         )
+    elif (
+        ctx is None
+        and t % 128 == 0
+        and _fused_attention_wanted(t, ctx)
+    ):
+        # eval shared-probs consume: lane-padded Pallas matmul instead of
+        # the 12-lane-minor XLA einsum (PROFILE_r4 measured the einsum at
+        # 1.3-8.6% of peak; see ops.attention.rel_attention_probs_apply)
+        from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+        o = rel_attention_probs_apply(attn_weights.astype(x.dtype), v)
     else:
         o = jnp.einsum(
             "bhts,bshd->bthd", attn_weights.astype(x.dtype), v,
@@ -707,6 +733,18 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
         v = rel_attention_consume(
             a.q[:, :, :1], a.k[:, :, :1], a.pq[:, :, :1], a.pe[:, :1],
             a.mask, head0[:, None], v[:, :, None, :], const_gate=gate,
+        )[:, :, 0]
+    elif (
+        ctx is None
+        and x.shape[1] % 128 == 0
+        and _fused_attention_wanted(x.shape[1], ctx)
+    ):
+        # eval head-0 consume via the same lane-padded Pallas matmul (the
+        # 288-wide value stream pads to 384 lanes; exact zeros sliced off)
+        from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+        v = rel_attention_probs_apply(
+            attn_head0[:, None].astype(x.dtype), v[:, :, None, :]
         )[:, :, 0]
     else:
         v = jnp.einsum(

@@ -64,6 +64,26 @@ def _effective_shear(interpret: bool) -> str:
     return "binary" if interpret else _SHEAR_MODE
 
 
+# Backward shear-adjoint formulation (see _apply_bwd_kernel's roll branch):
+# "matmul" conjugates the stride=+1 rotate with anti-identity MXU reversals
+# (r3 design); "flip" expresses the same row reversals as lax.rev on the
+# sublane axis — zero MXU passes, but whether Mosaic lowers a sublane rev
+# efficiently (or at all) is a hardware question, so the mode ships as an
+# A/B toggle and tools/r5_capture.sh measures both (VERDICT r4 next #2:
+# the attention backward is the prime bwd/fwd suspect).
+_BWD_SHEAR_ADJ = "matmul"
+
+
+def set_bwd_shear_adj(mode: str) -> None:
+    """'matmul' (default) or 'flip'.  Trace-time binding; clears jit caches
+    on change (test/tool toggle only — see set_shear_mode)."""
+    global _BWD_SHEAR_ADJ
+    assert mode in ("matmul", "flip"), mode
+    if mode != _BWD_SHEAR_ADJ:
+        _BWD_SHEAR_ADJ = mode
+        jax.clear_caches()
+
+
 def _tile_scores(q_ref, k_ref, pq_ref, pe_ref, shear="roll"):
     """Pre-mask scores (TILE, T) f32 for the current grid tile.
 
@@ -492,7 +512,31 @@ def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
     # positional adjoints through the shear
     band_start = pl.multiple_of(t - ti - i0, TILE)
     band = pe_ref[0, pl.ds(band_start, t + ti), :].astype(jnp.float32)
-    if shear == "roll":
+    if shear == "roll" and _BWD_SHEAR_ADJ == "flip":
+        # same math as the matmul branch below with every anti-identity
+        # product R @ x replaced by a sublane reverse: R is a permutation,
+        # so rev(x, axis=0) == R @ x exactly — no MXU passes, no rounding.
+        # The wide rev(ds_pad) replaces the branch's single largest matmul
+        # (a 128-deep contraction over T+TILE columns).
+        from jax.experimental.pallas import tpu as _pltpu
+
+        w = t + ti
+        ds_pad = jnp.concatenate(
+            [ds, jnp.zeros((ti, w - t), ds.dtype)], axis=1
+        )
+        y = jax.lax.rev(ds_pad, (0,))
+        y = _pltpu.roll(y, 0, 1, stride=1, stride_axis=0)
+        z = jax.lax.dot_general(
+            y, band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE, pd)
+        dpq_ref[0] = jax.lax.rev(z, (0,))
+        rpq = jax.lax.rev(pq_ref[0].astype(jnp.float32), (0,))
+        dband = jax.lax.dot_general(
+            y, rpq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T+TILE, pd)
+    elif shear == "roll":
         # ds_sh = R @ roll(R @ ds_pad)  (see _tile_unshear), but only two
         # pd-wide products consume ds_sh, so push R onto THEM instead of
         # materializing ds_sh:
@@ -601,8 +645,18 @@ def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
     b, t, h, qd = q.shape
     pd = pq.shape[-1]
     vd = v.shape[-1]
+    # lane-pad the value/cotangent streams to the 128-lane vreg width: the
+    # dv and dp dots keep their MXU pass count (N=12 / K=12 already cost
+    # full lane tiles) but every DMA becomes contiguous; the padded lanes
+    # are exact zeros (g_pad * v_pad contributes 0 to dp) and dv's pad
+    # lanes are sliced off below.
+    vdp = ((vd + TILE - 1) // TILE) * TILE
     qh, kh, pqh, peh, vh = _heads_layout(q, k, pq, pe, v)
-    gh = g.transpose(0, 2, 1, 3).reshape(b * h, t, vd)
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, vdp - vd)))
+    gh = jnp.pad(
+        g.transpose(0, 2, 1, 3).reshape(b * h, t, vd),
+        ((0, 0), (0, 0), (0, vdp - vd)),
+    )
     gate2 = gate.reshape(1, 1).astype(jnp.float32)
     pen2 = pen.reshape(1, 1).astype(jnp.float32)
 
@@ -623,8 +677,8 @@ def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t), lambda bh, ti: (bh // h, 0, 0),
                          memory_space=pltpu.VMEM),
-            spec_full(t, vd),
-            spec_tile(vd),
+            spec_full(t, vdp),
+            spec_tile(vdp),
             pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda bh, ti: (0, 0),
@@ -636,14 +690,14 @@ def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
             spec_tile(pd),
             pl.BlockSpec((1, 2 * t, pd), lambda bh, ti: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            spec_full(t, vd),
+            spec_full(t, vdp),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, t, qd), jnp.float32),
             jax.ShapeDtypeStruct((b * h, t, qd), jnp.float32),
             jax.ShapeDtypeStruct((b * h, t, pd), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 2 * t, pd), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, t, vd), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t, vdp), jnp.float32),
         ],
         interpret=interpret,
     )(qh, kh, pqh, peh, bias, vh, gh, gate2, pen2)
@@ -652,7 +706,7 @@ def _pallas_rel_apply_bwd(q, k, pq, pe, bias, v, gate, pen, g, limit,
     dq = unhead(dq, qd).astype(q.dtype)
     dk = unhead(dk, qd).astype(k.dtype)
     dpq = unhead(dpq, pd).astype(pq.dtype)
-    dv = unhead(dv, vd).astype(v.dtype)
+    dv = unhead(dv[..., :vd], vd).astype(v.dtype)
     # dpe_p: (B*H, 2T, pd) partial sums -> sum over batch, drop the pad row
     dpe = (
         dpe_p.reshape(b, h, 2 * t, pd).sum(0).transpose(1, 0, 2)[: 2 * t - 1]
@@ -794,12 +848,28 @@ def _pad_t(x, d):
     return jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit, interpret):
+def _consume_fwd_contract(probs, v, interpret):
+    """probs @ v for the shared-probs consume forward.  On TPU at
+    TILE-multiple lengths the contraction runs through the lane-padded
+    Pallas matmul (rel_attention_probs_apply) — XLA's lowering of the
+    12-lane-minor einsum measured 1.3-8.6% of peak (PROFILE_r4); the
+    fallback keeps the einsum for CPU/odd lengths."""
+    t = v.shape[1]
+    if (
+        t % TILE == 0
+        and not interpret
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        return rel_attention_probs_apply(probs.astype(v.dtype), v)
     return jnp.einsum(
         "bhts,bshd->bthd", probs.astype(v.dtype), v,
         preferred_element_type=v.dtype,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit, interpret):
+    return _consume_fwd_contract(probs, v, interpret)
 
 
 def _rel_consume_fwd(q, k, pq, pe, bias, probs, v, pen_gate, limit,
@@ -938,6 +1008,68 @@ def _pallas_rel_probs(q, k, pq, pe, bias, out_dtype, interpret):
 # ---------------------------------------------------------------------------
 
 
+def _probs_apply_kernel(p_ref, v_ref, out_ref):
+    """Grid (B*H, T//TT): one probs row-tile (TT, T) contracted with the
+    full lane-padded value block (T, vdp) — a plain MXU matmul whose every
+    operand is vreg-aligned."""
+    out_ref[0] = jax.lax.dot_general(
+        p_ref[0], v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rel_attention_probs_apply(
+    probs: jax.Array,  # (B, H, T, T) — materialized probabilities
+    v: jax.Array,  # (B, T, H, vd)
+    interpret: bool = False,
+) -> jax.Array:
+    """Eval-only einsum('bhts,bshd->bthd', probs, v) as a Pallas batched
+    matmul with the value stream lane-padded to the 128-lane vreg width
+    and laid out heads-major.
+
+    Why not XLA: with value_head_dim 12 the einsum's RHS/output minor dim
+    is 12 — PROFILE_r4 measured XLA's lowering of exactly this contraction
+    at 1.3-8.6% of bf16 peak (self_attn rows) because both the (T, 12)
+    value loads and the (B, T, H, 12) interleaved stores are far off the
+    native (8, 128) tile.  Padding vd -> 128 does NOT add MXU passes (an
+    N=12 output tile already costs one full 128-lane pass), it only makes
+    every DMA contiguous; the pad/slice live outside the kernel where the
+    custom call keeps XLA's simplifier from pushing the slice back into
+    the dot (recreating the 12-lane form).  The padded lanes are exact
+    zeros, so the real lanes are bit-identical to the unpadded contraction.
+
+    T must be a multiple of TILE (serving frame buckets are); callers fall
+    back to the XLA einsum otherwise.  Accumulates f32, returns v.dtype.
+    (Ref consumers: zipformer.py:1359-1396.)"""
+    b, h, t, _ = probs.shape
+    vd = v.shape[-1]
+    assert t % TILE == 0, t
+    vdp = ((vd + TILE - 1) // TILE) * TILE
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, t, vd)
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, vdp - vd)))
+    ph = probs.reshape(b * h, t, t)
+    # row tile: whole (T, T) block up to T=1024 (2 MB bf16 in VMEM, the
+    # value block is then read once per (b, h)); larger T row-tiles at 256
+    tt = t if t <= 1024 else 256
+    out = pl.pallas_call(
+        _probs_apply_kernel,
+        grid=(b * h, t // tt),
+        in_specs=[
+            pl.BlockSpec((1, tt, t), lambda bh, ti: (bh, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, vdp), lambda bh, ti: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tt, vdp), lambda bh, ti: (bh, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, vdp), v.dtype),
+        interpret=interpret,
+    )(ph, vh)
+    return out.reshape(b, h, t, vdp)[..., :vd].transpose(0, 2, 1, 3)
+
+
 def _probs_consume_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref,
                           probs_ref, out_ref, *, shear):
     """Grid (B*H, T//TILE): probs tile + fused probs @ v epilogue."""
@@ -1020,12 +1152,20 @@ def rel_attention_probs_consume(
     tp = t_pad
     pd = pq.shape[-1]
     vd = v.shape[-1]
+    # lane-pad the value stream to the 128-lane vreg width: same MXU pass
+    # count (N=12 already costs a full lane tile), aligned DMAs instead of
+    # 12-lane-minor strided loads/stores; padded lanes are exact zeros and
+    # are sliced off below (see rel_attention_probs_apply).
+    vdp = ((vd + TILE - 1) // TILE) * TILE
     bias = _bias_from_mask(key_padding_mask, b, tp)
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, tp, qd)
     kh = k.transpose(0, 2, 1, 3).reshape(b * h, tp, qd)
     pqh = pq.transpose(0, 2, 1, 3).reshape(b * h, tp, pd)
     peh = jnp.pad(pe, ((0, 1), (0, 0), (0, 0))).transpose(1, 0, 2)
-    vh = v.transpose(0, 2, 1, 3).reshape(b * h, tp, vd)
+    vh = jnp.pad(
+        v.transpose(0, 2, 1, 3).reshape(b * h, tp, vd),
+        ((0, 0), (0, 0), (0, vdp - vd)),
+    )
 
     probs, out = pl.pallas_call(
         functools.partial(
@@ -1043,23 +1183,23 @@ def rel_attention_probs_consume(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tp), lambda bh, ti: (bh // h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, vd), lambda bh, ti: (bh, 0, 0),
+            pl.BlockSpec((1, tp, vdp), lambda bh, ti: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE, tp), lambda bh, ti: (bh, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, vd), lambda bh, ti: (bh, ti, 0),
+            pl.BlockSpec((1, TILE, vdp), lambda bh, ti: (bh, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, tp, tp), out_dtype),
-            jax.ShapeDtypeStruct((b * h, tp, vd), v.dtype),
+            jax.ShapeDtypeStruct((b * h, tp, vdp), v.dtype),
         ],
         interpret=interpret,
     )(qh, kh, pqh, peh, bias, vh)
     probs = probs.reshape(b, h, tp, tp)
-    out = out.reshape(b, h, tp, vd).transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, tp, vdp)[..., :vd].transpose(0, 2, 1, 3)
     if d:
         probs = probs[:, :, :t, :t]
         out = out[:, :t]
@@ -1089,6 +1229,11 @@ def rel_attention_head0_consume(
     tp = t_pad
     pd = pq.shape[-1]
     c = v.shape[-1]
+    # lane-pad the gated value stream (3*encoder_dim/4 = 288 at 123M) to a
+    # 128-multiple so its DMA and the output store are vreg-aligned; exact
+    # zeros, sliced off below (see rel_attention_probs_apply).
+    cp = ((c + TILE - 1) // TILE) * TILE
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, cp - c)))
     bias = _bias_from_mask(key_padding_mask, b, tp)
     q0 = q[:, :, 0, :]
     k0 = k[:, :, 0, :]
@@ -1111,12 +1256,13 @@ def rel_attention_head0_consume(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tp), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, c), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, tp, cp), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, c), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, TILE, cp), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, c), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, cp), v.dtype),
         interpret=interpret,
     )(q0, k0, pq0, pe0, bias, v)
+    out = out[..., :c]
     return out[:, :t] if d else out

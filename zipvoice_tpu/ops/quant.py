@@ -11,22 +11,49 @@ inference) while accumulation stays in the compute dtype.
 Only 2-D weights consumed by ``linear`` are quantized; embedding tables
 (index lookups) and depthwise-conv kernels keep full precision, matching
 the reference's MatMul-only quantization.
+
+Fidelity closers (r5, VERDICT r4 next #5): the round-4 int8 ladder missed
+the repo's 1e-3 mel-MSE yardstick (weight-only 1.09e-3 / dynamic 1.94e-3
+vs bf16, INT8_RTF.json), so the cancellation-sensitive closers stay
+unquantized by default — the model-level velocity/output head (its output
+feeds the CFG combination and the Euler state accumulation) and the
+time-embed MLPs (they seed every layer's additive conditioning; the same
+set bf16 f32_closers protects, docs/parity.md).  Together they are <1 MB
+of the 123M model, so the RTF cost of keeping them bf16 is nil.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-# param-tree keys whose "weight" is not a linear matmul operand
-EXCLUDE_KEYS = ("embed", "spk_embed", "depthwise_conv")
+# param-tree keys whose "weight" is not a linear matmul operand, plus the
+# time-embed conditioning MLPs (fidelity closers, see module docstring)
+EXCLUDE_KEYS = (
+    "embed", "spk_embed", "depthwise_conv",
+    "time_embed", "time_emb", "guidance_scale_embed",
+)
+
+# exact path suffixes of the model-level output heads (NOT the per-layer
+# module out_projs, whose paths end with e.g. ("self_attn1", "out_proj"))
+EXCLUDE_PATH_SUFFIXES: Tuple[Tuple[str, ...], ...] = (
+    ("fm_decoder", "out_proj"),
+    ("fm_decoder", "in_proj"),
+    ("text_encoder", "out_proj"),
+    # two-stream (dialog-stereo) heads: ModuleList projections keyed "0"/"1"
+    ("fm_decoder", "out_proj", "0"),
+    ("fm_decoder", "out_proj", "1"),
+    ("fm_decoder", "in_proj", "0"),
+    ("fm_decoder", "in_proj", "1"),
+)
 
 
 def quantize_linear_int8(
     params: Dict,
     min_elems: int = 4096,
     exclude_keys: Sequence[str] = EXCLUDE_KEYS,
+    exclude_path_suffixes: Sequence[Tuple[str, ...]] = EXCLUDE_PATH_SUFFIXES,
 ) -> Dict:
     """Replace each eligible {"weight": (in, out), ...} with
     {"weight_int8": int8, "weight_scale": (out,) float32, ...}.
@@ -42,6 +69,10 @@ def quantize_linear_int8(
             and getattr(d["weight"], "ndim", 0) == 2
             and np.size(d["weight"]) >= min_elems
             and not any(k in path for k in exclude_keys)
+            and not any(
+                path[len(path) - len(suf):] == tuple(suf)
+                for suf in exclude_path_suffixes
+            )
         ):
             w = np.asarray(d["weight"], np.float32)
             scale = np.maximum(np.max(np.abs(w), axis=0) / 127.0, 1e-12)
