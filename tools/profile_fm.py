@@ -35,6 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused-eval", choices=["on", "off"], default="on")
     ap.add_argument("--fused-conv", choices=["on", "off"], default="on")
+    ap.add_argument("--probs-apply", choices=["on", "off"], default="on",
+                    help="lane-padded Pallas shared-probs consume in the "
+                         "SelfAttention modules (zf.set_probs_apply)")
     ap.add_argument("--out", type=str, default="/root/repo/PROFILE_r4.json")
     args = ap.parse_args()
 
@@ -53,6 +56,7 @@ def main():
     zf.set_scan_layers(False)
     zf.set_fused_eval(args.fused_eval == "on")
     zf.set_fused_conv(args.fused_conv == "on")
+    zf.set_probs_apply(args.probs_apply == "on")
 
     dtype = jnp.bfloat16
     model_cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
@@ -307,6 +311,7 @@ def main():
         "peak_bf16_tflops": peak,
         "fused_eval": args.fused_eval,
         "fused_conv": args.fused_conv,
+        "probs_apply": args.probs_apply,
     }
     print(json.dumps(results["_summary"], indent=2), flush=True)
     with open(args.out, "w") as f:

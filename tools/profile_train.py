@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--bwd-shear-adj", type=str, default="matmul",
-                    choices=["matmul", "flip"],
+                    choices=["matmul", "flip", "rollw"],
                     help="attention-backward shear-adjoint formulation "
                          "(ops.attention.set_bwd_shear_adj A/B)")
     ap.add_argument("--out", type=str,

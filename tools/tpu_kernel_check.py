@@ -96,24 +96,27 @@ def main():
     # whole check.
     from zipvoice_tpu.ops.attention import set_bwd_shear_adj
 
-    try:
-        set_bwd_shear_adj("flip")
-        g_f = jax.jit(jax.grad(loss_consume, argnums=(0, 1, 2, 3, 4)))(
-            q, k, pq, pe, v)
-        for name, a, b_ in zip("q k pq pe v".split(), g_f, g_x):
-            a, b_ = np.asarray(a), np.asarray(b_)
-            rel = float(np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6))
-            report["checks"][f"flip_grad_{name}_rel_err"] = rel
-            assert rel < 2e-3, (name, rel)
-        report["checks"]["bwd_shear_adj_flip"] = "ok"
-    except AssertionError:
-        raise
-    except Exception as e:  # noqa: BLE001 — lowering not supported
-        report["checks"]["bwd_shear_adj_flip"] = (
-            f"unsupported: {type(e).__name__}: {str(e)[:200]}"
-        )
-    finally:
-        set_bwd_shear_adj("matmul")
+    for mode in ("flip", "rollw"):
+        try:
+            set_bwd_shear_adj(mode)
+            g_f = jax.jit(jax.grad(loss_consume, argnums=(0, 1, 2, 3, 4)))(
+                q, k, pq, pe, v)
+            for name, a, b_ in zip("q k pq pe v".split(), g_f, g_x):
+                a, b_ = np.asarray(a), np.asarray(b_)
+                rel = float(
+                    np.abs(a - b_).max() / max(np.abs(b_).max(), 1e-6)
+                )
+                report["checks"][f"{mode}_grad_{name}_rel_err"] = rel
+                assert rel < 2e-3, (mode, name, rel)
+            report["checks"][f"bwd_shear_adj_{mode}"] = "ok"
+        except AssertionError:
+            raise
+        except Exception as e:  # noqa: BLE001 — lowering not supported
+            report["checks"][f"bwd_shear_adj_{mode}"] = (
+                f"unsupported: {type(e).__name__}: {str(e)[:200]}"
+            )
+        finally:
+            set_bwd_shear_adj("matmul")
 
     # --- r5 lane-padded shared-probs consume (rel_attention_probs_apply)
     from zipvoice_tpu.ops.attention import rel_attention_probs_apply

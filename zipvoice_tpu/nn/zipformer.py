@@ -108,6 +108,23 @@ def set_fused_conv(enabled: bool):
         jax.clear_caches()
 
 
+# Eval-only: consume the materialized shared probs with the lane-padded
+# Pallas matmul (ops.attention.rel_attention_probs_apply) instead of the
+# 12-lane-minor XLA einsum in the two SelfAttention modules.  A/B'd at NFE
+# level by tools/profile_fm.py --probs-apply (the r5 first capture showed
+# per-stack mixed results under cross-session jitter: ds2 162->116 us,
+# ds1/ds4 slightly worse — the same-session A/B decides the default).
+_PROBS_APPLY: bool = True
+
+
+def set_probs_apply(enabled: bool):
+    """Trace-time binding; clears jit caches on change (see set_fused_apply)."""
+    global _PROBS_APPLY
+    if enabled != _PROBS_APPLY:
+        _PROBS_APPLY = enabled
+        jax.clear_caches()
+
+
 # lax.scan over a stack's layers (identical structure): one layer trace per
 # stack instead of num_layers -> much faster compiles, identical numerics.
 _SCAN_LAYERS: bool = True
@@ -670,6 +687,7 @@ def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
         )
     elif (
         ctx is None
+        and _PROBS_APPLY
         and t % 128 == 0
         and _fused_attention_wanted(t, ctx)
     ):
@@ -734,19 +752,12 @@ def _nonlin_attention(p: Params, x: jax.Array, attn_head0,
             a.q[:, :, :1], a.k[:, :, :1], a.pq[:, :, :1], a.pe[:, :1],
             a.mask, head0[:, None], v[:, :, None, :], const_gate=gate,
         )[:, :, 0]
-    elif (
-        ctx is None
-        and x.shape[1] % 128 == 0
-        and _fused_attention_wanted(x.shape[1], ctx)
-    ):
-        # eval head-0 consume via the same lane-padded Pallas matmul (the
-        # 288-wide value stream pads to 384 lanes; exact zeros sliced off)
-        from zipvoice_tpu.ops.attention import rel_attention_probs_apply
-
-        v = rel_attention_probs_apply(
-            attn_head0[:, None].astype(x.dtype), v[:, :, None, :]
-        )[:, :, 0]
     else:
+        # XLA einsum kept on purpose: the head-0 slice-consume is already
+        # cheap (12.3 us in PROFILE_r4_unfused — the 288-wide output is
+        # lane-friendly), and routing it through the Pallas matmul forces
+        # the strided (B, T, T) head-0 slice to materialize first —
+        # measured 4x SLOWER (47.6 us, PROFILE_r5_unfused).
         v = jnp.einsum(
             "bts,bsc->btc", attn_head0.astype(x.dtype), v,
             preferred_element_type=x.dtype,

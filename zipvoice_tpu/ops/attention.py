@@ -67,18 +67,22 @@ def _effective_shear(interpret: bool) -> str:
 # Backward shear-adjoint formulation (see _apply_bwd_kernel's roll branch):
 # "matmul" conjugates the stride=+1 rotate with anti-identity MXU reversals
 # (r3 design); "flip" expresses the same row reversals as lax.rev on the
-# sublane axis — zero MXU passes, but whether Mosaic lowers a sublane rev
-# efficiently (or at all) is a hardware question, so the mode ships as an
-# A/B toggle and tools/r5_capture.sh measures both (VERDICT r4 next #2:
-# the attention backward is the prime bwd/fwd suspect).
+# sublane axis (MEASURED UNSUPPORTED on v5e Mosaic: 'Unimplemented
+# primitive ... rev', KERNEL_CHECK.json r5); "rollw" expresses the
+# DECREASING per-row rotate the unshear needs directly as one
+# tpu.dynamic_rotate with stride = w-1 (≡ -1 mod w), eliminating every
+# reversal — whether the hardware rotate accepts a large stride is probed
+# on chip the same way.  A/B via tools/profile_train.py --bwd-shear-adj
+# (VERDICT r4 next #2: the attention backward is the prime bwd/fwd
+# suspect).
 _BWD_SHEAR_ADJ = "matmul"
 
 
 def set_bwd_shear_adj(mode: str) -> None:
-    """'matmul' (default) or 'flip'.  Trace-time binding; clears jit caches
-    on change (test/tool toggle only — see set_shear_mode)."""
+    """'matmul' (default), 'flip', or 'rollw'.  Trace-time binding; clears
+    jit caches on change (test/tool toggle only — see set_shear_mode)."""
     global _BWD_SHEAR_ADJ
-    assert mode in ("matmul", "flip"), mode
+    assert mode in ("matmul", "flip", "rollw"), mode
     if mode != _BWD_SHEAR_ADJ:
         _BWD_SHEAR_ADJ = mode
         jax.clear_caches()
@@ -512,7 +516,30 @@ def _apply_bwd_kernel(q_ref, k_ref, pq_ref, pe_ref, mask_ref, v_ref, g_ref,
     # positional adjoints through the shear
     band_start = pl.multiple_of(t - ti - i0, TILE)
     band = pe_ref[0, pl.ds(band_start, t + ti), :].astype(jnp.float32)
-    if shear == "roll" and _BWD_SHEAR_ADJ == "flip":
+    if shear == "roll" and _BWD_SHEAR_ADJ == "rollw":
+        # the unshear IS one hardware rotate: ds_sh[r, c] =
+        # ds_pad[r, (c + r - (ti-1)) mod w] = right-rotate row r by
+        # (ti-1) - r, and with stride = w-1 the rotate's per-row shift
+        # (ti-1) + (w-1) r ≡ (ti-1) - r (mod w).  No reversals, no MXU
+        # passes, ds stays exact f32.  Wrapped indices land in the
+        # zero-padded columns (same argument as _tile_unshear).
+        from jax.experimental.pallas import tpu as _pltpu
+
+        w = t + ti
+        ds_pad = jnp.concatenate(
+            [ds, jnp.zeros((ti, w - t), ds.dtype)], axis=1
+        )
+        ds_sh = _pltpu.roll(ds_pad, ti - 1, 1, stride=w - 1, stride_axis=0)
+        dpq_ref[0] = jax.lax.dot_general(
+            ds_sh, band, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dband = jax.lax.dot_general(
+            ds_sh, pq_ref[0].astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T+TILE, pd)
+    elif shear == "roll" and _BWD_SHEAR_ADJ == "flip":
         # same math as the matmul branch below with every anti-identity
         # product R @ x replaced by a sublane reverse: R is a permutation,
         # so rev(x, axis=0) == R @ x exactly — no MXU passes, no rounding.
