@@ -861,3 +861,33 @@ def test_probs_apply_matches_einsum(vd, h):
                                 preferred_element_type=jnp.float32))
     out = np.asarray(rel_attention_probs_apply(probs, v, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_probs_apply_grads_match_einsum():
+    """rel_attention_probs_apply is differentiable (einsum-adjoint VJP):
+    grad-of-eval paths (e.g. a schedules=None loss) must not error and
+    must match the plain einsum's gradients."""
+    from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+    b, h, t, vd = 1, 2, 128, 12
+    rng = np.random.default_rng(33)
+    logits = rng.standard_normal((b, h, t, t)).astype(np.float32)
+    probs = jnp.asarray(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    )
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+
+    def loss_k(p_, v_):
+        return jnp.sum(
+            jnp.sin(rel_attention_probs_apply(p_, v_, interpret=True))
+        )
+
+    def loss_x(p_, v_):
+        return jnp.sum(jnp.sin(jnp.einsum(
+            "bhts,bshd->bthd", p_, v_,
+            preferred_element_type=jnp.float32)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(probs, v)
+    gx = jax.grad(loss_x, argnums=(0, 1))(probs, v)
+    for a, b_ in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)

@@ -36,6 +36,11 @@ def main():
                     choices=["matmul", "flip", "rollw"],
                     help="attention-backward shear-adjoint formulation "
                          "(ops.attention.set_bwd_shear_adj A/B)")
+    ap.add_argument("--no-reg", action="store_true",
+                    help="stub the balancer/whiten regularizers to identity "
+                         "(same program structure, RNG, and remat policy) — "
+                         "pins their share of the fwd/bwd budget for the "
+                         "bwd/fwd-ratio analysis (VERDICT r4 next #2)")
     ap.add_argument("--out", type=str,
                     default="/root/repo/PROFILE_train_r4.json")
     args = ap.parse_args()
@@ -61,6 +66,20 @@ def main():
     from zipvoice_tpu.ops.attention import set_bwd_shear_adj
 
     set_bwd_shear_adj(args.bwd_shear_adj)
+
+    if args.no_reg:
+        # identity-stub the stat regularizers at TRACE time: everything
+        # else in the train program (masks, layer paths, remat, optimizer)
+        # is unchanged, so (reg run) - (this run) pins the fwd+bwd cost of
+        # the Balancer/Whiten custom-VJP stat ops alone.  RNG streams
+        # shift (the stubs skip the gate draws) — irrelevant for timing.
+        # Tool-only monkeypatch, never a library mode.
+        from zipvoice_tpu.nn import zipformer as _zf
+
+        _zf._maybe_balancer = lambda ctx, x, prob, **kw: x
+        _zf._maybe_whiten = (
+            lambda ctx, x, limit_key, grad_scale, **kw: x
+        )
 
     cfg = ZipVoiceConfig(vocab_size=700, pad_id=0)
     rng = np.random.default_rng(0)
@@ -143,6 +162,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "remat_policy": args.remat,
         "bwd_shear_adj": args.bwd_shear_adj,
+        "no_reg": bool(args.no_reg),
         "batch": b,
         "frames": t,
     }

@@ -49,7 +49,12 @@ run 3000 "fm fused on (clean)"        python tools/profile_fm.py --fused-eval on
 # from the attention fusions (r4 measured them only jointly)
 run 3000 "fm conv fused only"         python tools/profile_fm.py --fused-eval off --fused-conv on  --probs-apply on  --out /root/repo/PROFILE_r5_convfused.json
 
+run 2400 "train full B8 (clean baseline)" python tools/profile_train.py --remat full --out /root/repo/PROFILE_train_r5_clean.json
 run 2400 "train full B8 rollw" python tools/profile_train.py --remat full --bwd-shear-adj rollw --out /root/repo/PROFILE_train_r5_rollw.json
+# regularizer share of the step: same program minus the Balancer/Whiten
+# stat ops — (clean) - (noreg) pins their fwd+bwd cost for the
+# bwd/fwd-ratio analysis (VERDICT r4 next #2)
+run 2400 "train full B8 no-reg" python tools/profile_train.py --remat full --no-reg --out /root/repo/PROFILE_train_r5_noreg.json
 
 run 120 "summarize" python tools/summarize_r5.py
 

@@ -77,6 +77,8 @@ def main():
         ("full_b8", "PROFILE_train_r5.json"),
         ("full_b8_flip", "PROFILE_train_r5_flip.json"),
         ("full_b8_rollw", "PROFILE_train_r5_rollw.json"),
+        ("full_b8_clean", "PROFILE_train_r5_clean.json"),
+        ("full_b8_noreg", "PROFILE_train_r5_noreg.json"),
         ("names_b8", "PROFILE_train_r5_names.json"),
         ("full_b16", "PROFILE_train_r5_b16.json"),
         ("full_b24", "PROFILE_train_r5_b24.json"),

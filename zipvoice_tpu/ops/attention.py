@@ -875,28 +875,19 @@ def _pad_t(x, d):
     return jnp.pad(x, ((0, 0), (0, d), (0, 0), (0, 0)))
 
 
-def _consume_fwd_contract(probs, v, interpret):
-    """probs @ v for the shared-probs consume forward.  On TPU at
-    TILE-multiple lengths the contraction runs through the lane-padded
-    Pallas matmul (rel_attention_probs_apply) — XLA's lowering of the
-    12-lane-minor einsum measured 1.3-8.6% of peak (PROFILE_r4); the
-    fallback keeps the einsum for CPU/odd lengths."""
-    t = v.shape[1]
-    if (
-        t % TILE == 0
-        and not interpret
-        and jax.default_backend() in ("tpu", "axon")
-    ):
-        return rel_attention_probs_apply(probs.astype(v.dtype), v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit, interpret):
+    # TRAINING forward keeps the XLA einsum: inside the big fwd+bwd program
+    # at B=8 XLA fuses this contraction well, and routing it through the
+    # Pallas matmul (rel_attention_probs_apply) MEASURED SLOWER — loss_fwd
+    # 18.96 ms (r4, einsum) vs 26.9 ms (r5 first capture, kernel): the
+    # pad/transpose glue around the custom call breaks fusion with the
+    # surrounding layer ops.  The kernel's win is the small-batch EVAL
+    # path, where it is wired at the zipformer call sites instead.
     return jnp.einsum(
         "bhts,bshd->bthd", probs.astype(v.dtype), v,
         preferred_element_type=v.dtype,
     )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _rel_consume_ad(q, k, pq, pe, bias, probs, v, pen_gate, limit, interpret):
-    return _consume_fwd_contract(probs, v, interpret)
 
 
 def _rel_consume_fwd(q, k, pq, pe, bias, probs, v, pen_gate, limit,
@@ -1046,13 +1037,37 @@ def _probs_apply_kernel(p_ref, v_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _probs_apply_ad(probs, v, interpret):
+    return _pallas_probs_apply(probs, v, interpret)
+
+
+def _probs_apply_fwd(probs, v, interpret):
+    return _pallas_probs_apply(probs, v, interpret), (probs, v)
+
+
+def _probs_apply_bwd(interpret, res, g):
+    """Plain einsum adjoints: this op is the EVAL consume (the training
+    path uses rel_attention_consume's flash backward), but grad-of-eval
+    is reachable — e.g. a schedules=None loss — and a missing VJP on the
+    custom call would make those paths error out on TPU."""
+    probs, v = res
+    dprobs = jnp.einsum("bthd,bshd->bhts", g, v,
+                        preferred_element_type=jnp.float32).astype(probs.dtype)
+    dv = jnp.einsum("bhts,bthd->bshd", probs, g,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    return dprobs, dv
+
+
+_probs_apply_ad.defvjp(_probs_apply_fwd, _probs_apply_bwd)
+
+
 def rel_attention_probs_apply(
     probs: jax.Array,  # (B, H, T, T) — materialized probabilities
     v: jax.Array,  # (B, T, H, vd)
     interpret: bool = False,
 ) -> jax.Array:
-    """Eval-only einsum('bhts,bshd->bthd', probs, v) as a Pallas batched
+    """Eval einsum('bhts,bshd->bthd', probs, v) as a Pallas batched
     matmul with the value stream lane-padded to the 128-lane vreg width
     and laid out heads-major.
 
@@ -1069,7 +1084,13 @@ def rel_attention_probs_apply(
 
     T must be a multiple of TILE (serving frame buckets are); callers fall
     back to the XLA einsum otherwise.  Accumulates f32, returns v.dtype.
-    (Ref consumers: zipformer.py:1359-1396.)"""
+    Differentiable (einsum-adjoint VJP — the flash training backward lives
+    in rel_attention_consume).  (Ref consumers: zipformer.py:1359-1396.)"""
+    return _probs_apply_ad(probs, v, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_probs_apply(probs, v, interpret):
     b, h, t, _ = probs.shape
     vd = v.shape[-1]
     assert t % TILE == 0, t
