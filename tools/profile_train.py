@@ -105,15 +105,25 @@ def main():
     loss_fn, _fb = make_loss_and_fwd_bwd(cfg, dtype)
 
     def timeit(name, fn, n=10):
+        """min-of-3 runs of an n-dispatch pipelined loop.  The r5 first
+        capture showed single-loop numbers jitter ~±30% within one session
+        (loss_fwd 26.9 vs 19.5 ms for the same program minutes apart —
+        tunnel hiccups land inside the timed window); min-of-3 recovers
+        the steady state the way bench.py's min-of-8 does."""
         t_c0 = time.monotonic()
         out = fn()
         float(np.asarray(jax.tree.leaves(out)[0], np.float32).ravel()[0])
         compile_s = time.monotonic() - t_c0
-        t0 = time.monotonic()
-        for _ in range(n):
-            out = fn()
-        float(np.asarray(jax.tree.leaves(out)[0], np.float32).ravel()[0])
-        per = (time.monotonic() - t0) / n
+
+        def one_loop():
+            t0 = time.monotonic()
+            for _ in range(n):
+                out = fn()
+            float(np.asarray(
+                jax.tree.leaves(out)[0], np.float32).ravel()[0])
+            return (time.monotonic() - t0) / n
+
+        per = min(one_loop() for _ in range(3))
         results[name] = {"ms": round(per * 1e3, 2),
                          "compile_s": round(compile_s, 1)}
         print(f"{name:24s} {per * 1e3:8.2f} ms  (compile {compile_s:.0f}s)",
