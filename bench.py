@@ -509,6 +509,31 @@ def _main_impl(state):
 
     import jax.numpy as jnp
 
+    # Chip-HEALTH probe (r5): the chip can run ~25-50x slow while the
+    # tunnel reads "up" (2026-08-19: chained-GEMM probe 1.9 TFLOP/s vs
+    # >100 healthy; that session's bench recorded RTF 0.2703 — all rows
+    # uniformly degraded).  Chain 50 big GEMMs under one dispatch so the
+    # answer is compute-bound, and FLAG (never null) a degraded capture:
+    # a slower number with its explanation still beats an error line.
+    def _chip_tflops(n=4096, length=50):
+        x = jnp.ones((n, n), jnp.bfloat16)
+        f = jax.jit(lambda a: jax.lax.scan(
+            lambda c, _: ((c @ x) * jnp.bfloat16(1e-4), ()), a, None,
+            length=length)[0])
+        np.asarray(f(x))  # compile + warm
+        t0 = time.monotonic()
+        np.asarray(f(x))
+        return 2 * n**3 * length / (time.monotonic() - t0) / 1e12
+
+    try:
+        chip_tflops = round(_chip_tflops(), 1)
+    except Exception:  # noqa: BLE001 — the probe must never cost the run
+        chip_tflops = None
+    state["chip_tflops_probe"] = chip_tflops
+    state["chip_degraded"] = (
+        bool(chip_tflops < 50.0) if chip_tflops is not None else None
+    )
+
     from zipvoice_tpu.audio.vocos import init_vocos
     from zipvoice_tpu.config import FeatureConfig, ZipVoiceConfig
     from zipvoice_tpu.models.pipeline import ZipVoicePipeline
@@ -816,10 +841,17 @@ def _main_impl(state):
             "mfu_train": train_mfu,
             "peak_bf16_tflops": peak_bf16_tflops(device_kind),
             "skipped_over_deadline": skipped,
+            # chained-GEMM compute throughput at run start; chip_degraded
+            # means every row above ran on a throttled chip (see r5 notes)
+            # and last-known healthy numbers are attached for the reader
+            "chip_tflops_probe": state.get("chip_tflops_probe"),
+            "chip_degraded": state.get("chip_degraded"),
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
         },
     }
+    if state.get("chip_degraded"):
+        result["detail"]["last_known"] = LAST_KNOWN
     print(json.dumps(result))
 
 

@@ -1,0 +1,88 @@
+"""Chained-GEMM throughput probe: is the chip HEALTHY, not just UP?
+
+Observed 2026-08-19 (r5): the tunnel can be fully responsive (matmul
+readback works, roundtrip ~43-59 ms) while the chip's compute runs
+~25-50x slow — a 50x-chained 4096^3 bf16 GEMM measured 1.9 TFLOP/s
+against the >100 TFLOP/s a healthy v5e sustains on the same program.
+Every timing captured in that state is garbage that looks plausible
+(the r5-capture bench tail recorded RTF 0.2703, uniformly ~25x slow).
+
+A tiny-matmul probe (bench.py `_probe_backend`) cannot see this: one
+128x128 dispatch is all roundtrip latency.  This probe chains enough
+MXU work under one dispatch that the answer is compute-bound, then
+reports achieved TFLOP/s.
+
+Exit code 0 iff achieved >= --min-tflops (default 50: half of healthy,
+25x above the degraded state — a wide, unambiguous margin).
+
+Usage:
+  python tools/chip_health.py [--min-tflops 50] [--json]
+  python tools/chip_health.py --wait [--budget-s 14400] [--interval-s 600]
+
+--wait re-probes every --interval-s until healthy or --budget-s is
+exhausted (the process stays resident so the ~200 s backend init is paid
+once, not per probe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def probe_tflops(n: int = 4096, length: int = 50) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    def body(c, _):
+        return (c @ x) * jnp.bfloat16(1e-4), ()
+
+    f = jax.jit(lambda a: lax.scan(body, a, None, length=length)[0])
+    np.asarray(f(x))  # compile + warm
+    t0 = time.monotonic()
+    np.asarray(f(x))
+    dt = time.monotonic() - t0
+    return 2 * n**3 * length / dt / 1e12
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-tflops", type=float, default=50.0)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--wait", action="store_true",
+                    help="re-probe until healthy or budget exhausted")
+    ap.add_argument("--budget-s", type=float, default=14400.0)
+    ap.add_argument("--interval-s", type=float, default=600.0)
+    args = ap.parse_args()
+
+    t_start = time.monotonic()
+    while True:
+        tf = probe_tflops()
+        healthy = tf >= args.min_tflops
+        rec = {"tflops": round(tf, 2), "min_tflops": args.min_tflops,
+               "healthy": healthy,
+               "elapsed_s": round(time.monotonic() - t_start, 1)}
+        print(json.dumps(rec) if args.json
+              else f"chip_health: {tf:.1f} TFLOP/s "
+                   f"({'HEALTHY' if healthy else 'DEGRADED'}, "
+                   f"floor {args.min_tflops:.0f})",
+              flush=True)
+        if healthy:
+            return 0
+        if not args.wait:
+            return 1
+        if time.monotonic() - t_start + args.interval_s > args.budget_s:
+            print("chip_health: budget exhausted, still degraded",
+                  flush=True)
+            return 1
+        time.sleep(args.interval_s)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

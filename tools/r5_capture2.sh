@@ -29,15 +29,16 @@ run() { # run <seconds> <name> <cmd...>
   fi
 }
 
-if ! timeout 400 python -c "
-import jax, jax.numpy as jnp, numpy as np
-x = jnp.ones((128,128), jnp.bfloat16)
-print('PROBE_OK', float(np.asarray(jax.jit(lambda a: a@a)(x))[0,0]))
-" >> "$LOG" 2>&1; then
-  say "ABORT: tunnel probe failed"
+# Gate on chip HEALTH, not just reachability: the first r5 capture's
+# bench tail ran on a chip degraded ~25x (tunnel up, compute throttled —
+# RTF 0.2703) and recorded garbage.  chip_health.py chains 50 big GEMMs
+# under one dispatch and demands >=50 TFLOP/s; --wait re-probes every
+# 10 min for up to 5 h so the queue starts itself when the chip recovers.
+if ! timeout 19000 python tools/chip_health.py --wait --budget-s 18000 --interval-s 600 >> "$LOG" 2>&1; then
+  say "ABORT: chip degraded or unreachable for the whole wait budget"
   exit 1
 fi
-say "probe ok — starting queue"
+say "chip healthy — starting queue"
 
 run 1800 "kernel check (rollw probe)" python tools/tpu_kernel_check.py
 
@@ -55,6 +56,14 @@ run 2400 "train full B8 rollw" python tools/profile_train.py --remat full --bwd-
 # stat ops — (clean) - (noreg) pins their fwd+bwd cost for the
 # bwd/fwd-ratio analysis (VERDICT r4 next #2)
 run 2400 "train full B8 no-reg" python tools/profile_train.py --remat full --no-reg --out /root/repo/PROFILE_train_r5_noreg.json
+
+# re-verify health before the headline rows (a mid-queue degradation
+# would otherwise poison them silently), then re-run bench: the first r5
+# bench tail was captured on the degraded chip and its RTF/serving/train
+# rows are all invalid.  Serving b8+b16 land in the same session, which
+# is the VERDICT #8 regression separation.
+run 600  "chip health (pre-bench)" python tools/chip_health.py
+run 2700 "bench (healthy rerun)" env BENCH_DEADLINE=2400 python bench.py
 
 run 120 "summarize" python tools/summarize_r5.py
 
