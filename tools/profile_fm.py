@@ -274,6 +274,44 @@ def main():
                        x_at(t), n=nn,
                        gflops=probs_gflops(t) / H + nonlin_gflops(t))
 
+    # ---- glue, measured DIRECTLY (r5): the full forward with ZERO layers
+    # per stack — in/out proj, time-embed MLP, per-stack pos-emb + time
+    # linears, and all three down/up/bypass wrappers, i.e. everything the
+    # per-layer reconstruction cannot see.  The r5 unfused profile left
+    # 739.6 us (18.5%) unattributed; this row pins how much of that is
+    # real wrapper compute vs layer-sum underestimate.
+    import dataclasses
+
+    cfg0 = dataclasses.replace(
+        cfg, num_encoder_layers=(0,) * len(cfg.num_encoder_layers)
+    )
+    params0 = jax.tree.map(
+        lambda a: a.astype(dtype), zf.init_tts_zipformer(key, cfg0)
+    )
+
+    def glue_only_body(x):
+        out = zf.tts_zipformer_forward(
+            params0, cfg0, x, t=jnp.full((B,), 0.5, dtype),
+            padding_mask=None,
+        )
+        return x * jnp.asarray(0.999, dtype) + jnp.tile(out, (1, 1, 3)).astype(dtype)
+
+    timed_scan("nfe_glue_only(0layers,T1024)", glue_only_body,
+               x_at(t_full, in_dim), n=128)
+
+    # full ds=2 stack (wrapper + its 2 layers) in context: stack_minus_
+    # layers = per-stack overhead as the real forward pays it (pos-emb,
+    # stack time linear, ds/us/bypass, any layout transitions)
+    te_mlp = jnp.zeros((B, cfg.time_embed_dim), dtype)
+
+    def stack2_body(x):
+        return zf._downsampled_encoder_stack(
+            params["encoders"]["1"], cfg, 1, x, te_mlp, None
+        )
+
+    timed_scan("stack_full(ds2,T1024)", stack2_body, x_at(1024), n=64,
+               gflops=cfg.num_encoder_layers[1] * layer_gflops(512, 15))
+
     # ---- glue: down/up-sample + out_combiner bypass of one ds=2 stack,
     # with the inner encoder replaced by identity (isolates wrapper cost) ----
     sp2 = params["encoders"]["1"]
