@@ -8,7 +8,13 @@ Reads (whichever exist):
   PROFILE_r5_pa_off.json / PROFILE_r5_pa_on.json
                                     (same-session probs-apply A/B)
   PROFILE_r5_fused.json             (fused-eval with the clean r5 code)
+  PROFILE_r5_convfused.json         (conv_glu kernel alone, attn unfused)
   PROFILE_train_r5.json             (full remat B=8 baseline)
+  PROFILE_train_r5_clean.json / _noreg.json
+                                    (same-session regularizer-share A/B)
+  COST_ANALYSIS_r5.json             (XLA flops/bytes roofline, fwd vs bwd)
+  (fm profiles since the glue rows also carry nfe_glue_only /
+   stack_full(ds2) for the direct glue attribution)
   PROFILE_train_r5_flip.json        (expected FAIL: rev unsupported)
   PROFILE_train_r5_rollw.json       (stride=w-1 shear adjoint)
   PROFILE_train_r5_names.json / _names_b16 / _b16 / _b24
@@ -70,6 +76,12 @@ def main():
                 "probs_apply": s.get("probs_apply"),
                 "fused_eval": s.get("fused_eval"),
                 "fused_conv": s.get("fused_conv"),
+                "glue_residual_us": s.get("glue_residual_us"),
+                # direct glue probes (r5 second capture adds them)
+                "nfe_glue_only_us": d.get(
+                    "nfe_glue_only(0layers,T1024)", {}).get("us"),
+                "stack_full_ds2_us": d.get(
+                    "stack_full(ds2,T1024)", {}).get("us"),
             }
 
     for tag, name in (
@@ -103,6 +115,7 @@ def main():
                 )
 
     out["int8"] = _load("INT8_RTF.json")
+    out["cost_analysis"] = _load("COST_ANALYSIS_r5.json")
 
     evals = {k: v for k, v in out["eval_nfe"].items()
              if v.get("nfe_us") and k.startswith("r5")}
