@@ -124,15 +124,26 @@ def _batched_throughput(cfg, params, batch: int = 8) -> float:
             guidance_scale=GUIDANCE, t_shift=0.5,
         )
     )
-    out = fn(params, tp, tl, pf, pl, fl, noise)
-    float(np.asarray(out[0, 0, 0], np.float32))
-    times = []
-    for _ in range(3):
+
+    # Slope-timed (2 dispatches vs 1, min-of-3 each): the single-run time
+    # carries the ~33 ms tunnel dispatch+readback constant on ~50 ms of
+    # b8 compute (~65% inflation) — the same instrument defect the r4
+    # train row had.  t(2)-t(1) cancels the constant and reports the
+    # ON-CHIP aggregate throughput a locally attached deployment gets
+    # (r3's 183x vs r4's 157.5x "regression" was partly this
+    # contamination moving with tunnel latency).
+    def run(n):
+        out = None
         t0 = time.monotonic()
-        out = fn(params, tp, tl, pf, pl, fl, noise)
+        for _ in range(n):
+            out = fn(params, tp, tl, pf, pl, fl, noise)
         float(np.asarray(out[0, 0, 0], np.float32))
-        times.append(time.monotonic() - t0)
-    return batch * SECONDS_OF_AUDIO / float(np.min(times))
+        return time.monotonic() - t0
+
+    run(1)  # warmup/compile
+    t1 = min(run(1) for _ in range(3))
+    t2 = min(run(2) for _ in range(3))
+    return batch * SECONDS_OF_AUDIO / max(t2 - t1, 1e-9)
 
 
 def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
