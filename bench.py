@@ -385,6 +385,17 @@ LAST_KNOWN = {
                       "2026-08-19; fused-eval defaults since flipped off — "
                       "unfused measured faster)",
     },
+    "builder_measured_r5": {
+        "train_full_step_ms_b8": 125.56,
+        "mfu_train_b16": 0.1716,
+        "mfu_train_b24": 0.1736,
+        "rtf_int8_dynamic_sampler": 0.00975,
+        "int8_dynamic_mel_mse_vs_bf16": 9.40e-4,
+        "provenance": "R5_CAPTURE.log + R5_SUMMARY.json (builder capture "
+                      "2026-08-19, healthy session; its bench TAIL ran on "
+                      "a ~25x-degraded chip and is invalid — rerun gated "
+                      "on tools/chip_health.py)",
+    },
 }
 
 PROBE_SCRIPT = (
