@@ -99,8 +99,11 @@ def main():
                 round(flops / byts, 1) if byts else None),
         }
         # a few interesting secondary counters when present
+        # (XLA reports optimal_seconds as a negative sentinel on TPU/CPU
+        # backends without a device model — drop it rather than publish
+        # garbage like -173.98 in the committed artifact)
         for k in ("transcendentals", "optimal_seconds"):
-            if k in ca:
+            if k in ca and float(ca[k]) >= 0:
                 row[k] = float(ca[k])
         out[name] = row
         print(json.dumps({name: row}), flush=True)

@@ -35,8 +35,10 @@ run() { # run <seconds> <name> <cmd...>
   fi
 }
 
-# Gate on chip HEALTH (>=50 TFLOP/s chained-GEMM), waiting up to 8 h.
-if ! timeout 29500 python tools/chip_health.py --wait --budget-s 28800 --interval-s 600 >> "$LOG" 2>&1; then
+# Gate on chip HEALTH (>=50 TFLOP/s chained-GEMM), waiting up to
+# $WAIT_BUDGET_S (default 8 h; override to fit the session window).
+WAIT_BUDGET_S=${WAIT_BUDGET_S:-28800}
+if ! timeout $((WAIT_BUDGET_S + 700)) python tools/chip_health.py --wait --budget-s "$WAIT_BUDGET_S" --interval-s 600 >> "$LOG" 2>&1; then
   say "ABORT: chip degraded or unreachable for the whole wait budget"
   exit 1
 fi
