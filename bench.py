@@ -30,8 +30,11 @@ GUIDANCE = 1.0
 DEADLINE_SECONDS = float(__import__("os").environ.get("BENCH_DEADLINE", 1200))
 
 # process start: the deadline is measured from HERE, so backend-probe
-# retries (up to DEADLINE/3) count against the budget instead of on top of
-# it — a driver time-box around the process stays respected
+# time (floored at one full 360 s attempt window; up to two at the default
+# deadline) counts against the budget instead of on top of it — and a
+# pre-probe heartbeat line lands on stdout before any waiting starts, so
+# even a driver time-box shorter than the probe floor still reads a
+# parseable last-known payload
 _PROCESS_T0 = time.monotonic()
 
 
@@ -143,7 +146,18 @@ def _batched_throughput(cfg, params, batch: int = 8) -> float:
     run(1)  # warmup/compile
     t1 = min(run(1) for _ in range(3))
     t2 = min(run(2) for _ in range(3))
-    return batch * SECONDS_OF_AUDIO / max(t2 - t1, 1e-9)
+    # Validate the slope instead of clamping: within-session jitter can
+    # make min(t2) <= min(t1) (the shared dispatch constant is 43-59 ms
+    # on ~50 ms of b8 compute), and a clamped 1e-9 denominator would
+    # publish a plausible-looking ~1e11x row.  A b8 16-step sampler
+    # dispatch is >5 ms of compute even at int8 speeds, so a smaller
+    # slope means the measurement failed — surface it as an aux error.
+    if t2 - t1 < 5e-3:
+        raise RuntimeError(
+            f"slope-timing invalid (t1={t1 * 1e3:.1f} ms, "
+            f"t2={t2 * 1e3:.1f} ms): jitter swamped the per-dispatch "
+            f"compute; rerun on a quieter session")
+    return batch * SECONDS_OF_AUDIO / (t2 - t1)
 
 
 def _distill_rtf(feat_cfg, tokens, prompt_tokens, prompt_feats, dtype,
@@ -485,6 +499,12 @@ def main():
     import sys
 
     state = {}  # mutated by _main_impl as measurements land
+    # pre-probe heartbeat: the probe budget is floored at one full 360 s
+    # attempt window even when BENCH_DEADLINE is smaller, so a time-boxed
+    # driver can kill the process MID-PROBE — this line guarantees a
+    # parseable last-known payload is on stdout before any waiting starts
+    _emit(None, {"status": "probing backend", "last_known": LAST_KNOWN},
+          error="incomplete", metric="bench_heartbeat")
     # floor the budget at one full 360 s attempt window even for small
     # BENCH_DEADLINE (a sub-init-time window reads slow-but-up as DOWN);
     # at the default 1200 s deadline this allows two full attempts
@@ -537,23 +557,21 @@ def _main_impl(state):
     # uniformly degraded).  Chain 50 big GEMMs under one dispatch so the
     # answer is compute-bound, and FLAG (never null) a degraded capture:
     # a slower number with its explanation still beats an error line.
-    def _chip_tflops(n=4096, length=50):
-        x = jnp.ones((n, n), jnp.bfloat16)
-        f = jax.jit(lambda a: jax.lax.scan(
-            lambda c, _: ((c @ x) * jnp.bfloat16(1e-4), ()), a, None,
-            length=length)[0])
-        np.asarray(f(x))  # compile + warm
-        t0 = time.monotonic()
-        np.asarray(f(x))
-        return 2 * n**3 * length / (time.monotonic() - t0) / 1e12
+    # ONE implementation + healthy floor, shared with the capture queues'
+    # gate, so bench and the queues can never disagree about "healthy".
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "tools"))
+    from chip_health import HEALTHY_FLOOR_TFLOPS, probe_tflops
 
     try:
-        chip_tflops = round(_chip_tflops(), 1)
+        chip_tflops = round(probe_tflops(), 1)
     except Exception:  # noqa: BLE001 — the probe must never cost the run
         chip_tflops = None
     state["chip_tflops_probe"] = chip_tflops
     state["chip_degraded"] = (
-        bool(chip_tflops < 50.0) if chip_tflops is not None else None
+        bool(chip_tflops < HEALTHY_FLOOR_TFLOPS)
+        if chip_tflops is not None else None
     )
 
     from zipvoice_tpu.audio.vocos import init_vocos

@@ -863,6 +863,29 @@ def test_probs_apply_matches_einsum(vd, h):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("t", [1152, 1408])
+def test_probs_apply_odd_128_bucket_above_1024(t):
+    """Regression (r5): for T>1024 the row tile must DIVIDE T.  The old
+    fixed tt=256 left rows >=1024 of every (b, h) block UNWRITTEN for the
+    odd-multiple-of-128 frame buckets (1152, 1408, ...) that serving's
+    frame_bucket=128 produces for ~12 s requests — uninitialized memory
+    in the default probs-apply path."""
+    from zipvoice_tpu.ops.attention import rel_attention_probs_apply
+
+    b, h, vd = 1, 2, 12
+    rng = np.random.default_rng(37)
+    logits = rng.standard_normal((b, h, t, t)).astype(np.float32)
+    probs = jnp.asarray(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    )
+    v = jnp.asarray(rng.standard_normal((b, t, h, vd)), jnp.float32)
+    ref = np.asarray(jnp.einsum("bhts,bshd->bthd", probs, v,
+                                preferred_element_type=jnp.float32))
+    out = np.asarray(rel_attention_probs_apply(probs, v, interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_probs_apply_grads_match_einsum():
     """rel_attention_probs_apply is differentiable (einsum-adjoint VJP):
     grad-of-eval paths (e.g. a schedules=None loss) must not error and

@@ -39,8 +39,14 @@ def test_main_emits_json_when_backend_unavailable(monkeypatch, capsys):
         bench.main()
     assert ei.value.code == 0
     lines = _parse_lines(capsys.readouterr().out)
-    assert len(lines) == 1
-    (line,) = lines
+    # a PRE-probe heartbeat lands first (the probe budget can exceed a
+    # small driver time-box, so a line must exist before any waiting),
+    # then the unavailable line supersedes it — the driver takes the LAST
+    assert len(lines) == 2
+    assert lines[0]["metric"] == "bench_heartbeat"
+    assert lines[0]["error"] == "incomplete"
+    assert "last_known" in lines[0]["detail"]
+    line = lines[-1]
     assert line["metric"] == "inference_rtf_zipvoice123M_16step"
     assert line["value"] is None
     assert line["error"] == "tpu_backend_unavailable"

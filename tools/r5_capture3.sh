@@ -22,6 +22,9 @@
 set -u
 cd /root/repo
 LOG=${1:-/root/repo/R5_CAPTURE2.log}
+# rotate rather than clobber: a previous queue's gate history (possibly
+# the only record of a degraded window) survives as ${LOG}.prev
+if [ -s "$LOG" ]; then mv "$LOG" "$LOG.prev"; fi
 : > "$LOG"
 say() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 

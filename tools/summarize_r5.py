@@ -117,12 +117,25 @@ def main():
     out["int8"] = _load("INT8_RTF.json")
     out["cost_analysis"] = _load("COST_ANALYSIS_r5.json")
 
+    # Winner selection excludes (a) cross-session rows — the first-capture
+    # r5_first_unfused came from a mixed-edit session and layer numbers
+    # jitter ~15% between tunnel sessions, so only the same-session v3
+    # A/B rows may decide; and (b) instrumentation probes — full_b8_noreg
+    # stubs the regularizers to identity (same analytic FLOPs, faster
+    # step), so its inflated MFU is a SHARE measurement, not a runnable
+    # config.  Both stay in the table for the reader.
     evals = {k: v for k, v in out["eval_nfe"].items()
-             if v.get("nfe_us") and k.startswith("r5")}
+             if v.get("nfe_us") and k.startswith("r5")
+             and k != "r5_first_unfused"}
     if evals:
         out["best_eval"] = min(evals, key=lambda k: evals[k]["nfe_us"])
+    elif out["eval_nfe"].get("r5_first_unfused", {}).get("nfe_us"):
+        # no same-session A/B landed yet: fall back, and say so
+        out["best_eval"] = "r5_first_unfused"
+        out["best_eval_note"] = "cross-session first capture; v3 A/B pending"
     trains = {k: v for k, v in out["train"].items()
-              if v.get("mfu_full_step") and k != "r4_full_b8"}
+              if v.get("mfu_full_step")
+              and k not in ("r4_full_b8", "full_b8_noreg")}
     if trains:
         out["best_train"] = max(
             trains, key=lambda k: trains[k]["mfu_full_step"]

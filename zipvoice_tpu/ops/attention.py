@@ -1099,8 +1099,14 @@ def _pallas_probs_apply(probs, v, interpret):
     vh = jnp.pad(vh, ((0, 0), (0, 0), (0, vdp - vd)))
     ph = probs.reshape(b * h, t, t)
     # row tile: whole (T, T) block up to T=1024 (2 MB bf16 in VMEM, the
-    # value block is then read once per (b, h)); larger T row-tiles at 256
-    tt = t if t <= 1024 else 256
+    # value block is then read once per (b, h)); above that, the largest
+    # row tile that DIVIDES t — a non-divisor leaves the tail rows of
+    # every (b, h) block unwritten (t=1152 with tt=256 covered only rows
+    # 0-1023; the 128-frame buckets make t%256==128 reachable in serving)
+    if t <= 1024:
+        tt = t
+    else:
+        tt = next(c for c in (512, 384, 256, 128) if t % c == 0)
     out = pl.pallas_call(
         _probs_apply_kernel,
         grid=(b * h, t // tt),
