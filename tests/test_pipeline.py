@@ -629,3 +629,146 @@ def test_pipeline_conflicting_int8_modes_rejected(model_dir):
         ZipVoicePipeline(params=assets.params, quantize="int8-dynamic", **kw)
     finally:
         F.set_int8_dynamic(False)
+
+
+def test_dialog_stereo_pipeline_variant():
+    """Stereo-dialog variant through the PIPELINE: the sample space is 2F
+    (prompt feats stacked channel-major, noise 2F) while model_cfg.feat_dim
+    stays the per-channel mel dim.  Regression: the pipeline drew noise
+    with feat_dim (F), which broke the two-stream width auto-dispatch."""
+    import jax
+
+    from zipvoice_tpu.config import FeatureConfig
+    from zipvoice_tpu.models.dialog import init_zipvoice_dialog_stereo
+
+    cfg = ZipVoiceConfig(**TINY, vocab_size=40, pad_id=0)
+    params = init_zipvoice_dialog_stereo(jax.random.PRNGKey(6), cfg)
+    pipe = ZipVoicePipeline(
+        params=params, model_cfg=cfg, feat_cfg=FeatureConfig(n_mels=20),
+        variant="dialog_stereo", token_bucket=8, frame_bucket=32,
+    )
+    assert pipe.sample_feat_dim == 40
+    rng = np.random.default_rng(7)
+    prompt_feats = (rng.standard_normal((11, 40)) * 0.1).astype(np.float32)
+    mel, gen_len = pipe.sample_features(
+        tokens=[3, 4, 5, 6], prompt_tokens=[7, 8], prompt_feats=prompt_feats,
+        num_step=2, guidance_scale=1.5,
+    )
+    assert gen_len > 0 and np.isfinite(np.asarray(mel)).all()
+    assert np.asarray(mel).shape[-1] == 40
+
+
+@pytest.mark.parametrize("feat_type,length", [
+    ("vocos", 24000),      # 1 s, mid-bucket
+    ("vocos", 32768),      # exactly one bucket (hop 256 * 128 frames)
+    ("vocos", 32769),      # one past the bucket boundary
+    ("vocos", 7321),       # short, odd length
+    ("bigvgan", 23240),    # r=200 >= 128: the unbucketed STFT comes up one
+                           # frame SHORT and fix_num_frames replicate-pads
+    ("bigvgan", 24000),
+])
+def test_prompt_features_bucketed_exact(model_dir, feat_type, length):
+    """prompt_features runs the fbank on a BUCKETED padded length (bounded
+    program count under arbitrary client prompt lengths) — and must equal
+    the direct unbucketed extraction EXACTLY, including the replicate-pad
+    tail bigvgan's frame contract can need."""
+    from zipvoice_tpu.audio.mel import extract_features as ef
+    from zipvoice_tpu.config import FeatureConfig
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    fcfg = FeatureConfig(n_mels=20, type=feat_type)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg, feat_cfg=fcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    rng = np.random.default_rng(11)
+    wav = (rng.standard_normal((1, length)) * 0.2).astype(np.float32)
+
+    feats, prompt_rms = pipe.prompt_features(wav, 24000)
+
+    # oracle: the unbucketed extraction on the identically-normalized wav
+    w = wav.copy()
+    if prompt_rms < 0.1:
+        w = w * (0.1 / prompt_rms)
+    ref = ef(w, fcfg, num_channels=1)
+    ref = (ref + fcfg.feat_bias) * fcfg.feat_scale
+
+    assert feats.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(feats, np.float32), np.asarray(ref, np.float32),
+        atol=2e-6, rtol=1e-5,
+    )
+
+
+def test_silent_prompt_rejected(model_dir):
+    """An all-zeros prompt must raise (the server maps it to HTTP 400)
+    instead of dividing by zero and serving NaN audio."""
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, tokenizer=assets.tokenizer,
+        token_bucket=8, frame_bucket=32,
+    )
+    with pytest.raises(ValueError, match="silent"):
+        pipe.prompt_features(np.zeros((1, 24000), np.float32), 24000)
+
+
+def test_long_form_plan_splits_cjk(model_dir):
+    """CJK text has no whitespace after 。！？ — the planner must still
+    split it into multiple chunks under the length cap."""
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg, tokenizer=assets.tokenizer,
+        token_bucket=8, frame_bucket=32,
+    )
+    text = "你好世界这是一句话。" * 12  # ~36 s of CJK, no spaces anywhere
+    chunks = pipe._long_form_plan(text, max_chunk_seconds=8.0)
+    assert len(chunks) >= 3
+    # and the Latin guard still holds sentences with decimals together
+    assert pipe._long_form_plan("pi is 3.14 ok", 30.0) == ["pi is 3.14 ok"]
+
+
+def test_long_form_zero_carry_uses_original_prompt(model_dir):
+    """carry_seconds=0 must condition every chunk on the ORIGINAL prompt —
+    mel[-0:] Python slicing silently carried the ENTIRE previous chunk
+    (maximum carry instead of disabled carry)."""
+    import jax
+
+    assets = load_model_dir(model_dir=str(model_dir), model_name="zipvoice",
+                            tokenizer_name="simple")
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=64, hop_length=16)
+    pipe = ZipVoicePipeline(
+        params=assets.params, model_cfg=assets.model_cfg,
+        feat_cfg=assets.feat_cfg,
+        vocos_params=init_vocos(jax.random.PRNGKey(1), vcfg), vocos_cfg=vcfg,
+        tokenizer=assets.tokenizer, token_bucket=8, frame_bucket=32,
+    )
+    seen_prompt_frames = []
+    real = pipe.sample_features
+
+    def spy(tokens, prompt_tokens, prompt_feats, **kw):
+        seen_prompt_frames.append(int(np.asarray(prompt_feats).shape[0]))
+        return real(tokens, prompt_tokens, prompt_feats, **kw)
+
+    pipe.sample_features = spy
+    rng = np.random.default_rng(4)
+    prompt_wav = (rng.standard_normal((1, 20000)) * 0.05).astype(np.float32)
+    long_text = ("the quick brown fox jumps over the lazy dog. " * 4).strip()
+    res = pipe.synthesize_long(
+        text=long_text, prompt_text="hi", prompt_wav=prompt_wav,
+        prompt_sr=24000, num_step=2, max_chunk_seconds=2.0,
+        carry_seconds=0.0,
+    )
+    assert res.metrics["chunks"] >= 2
+    assert len(seen_prompt_frames) >= 2
+    # every chunk must see the ORIGINAL prompt (same frame count), not the
+    # full previous chunk's mel
+    assert all(n == seen_prompt_frames[0] for n in seen_prompt_frames[1:]), (
+        seen_prompt_frames
+    )
+    assert np.isfinite(res.wav).all()

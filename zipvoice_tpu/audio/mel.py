@@ -103,13 +103,26 @@ def mel_filterbank(
     return fb.astype(np.float32)
 
 
+def stft_pad_amount(cfg: FeatureConfig) -> int:
+    """Per-side reflect padding the extractor applies internally: vocos
+    (center=True) pads n_fft//2, bigvgan pads (n_fft - hop)//2.  A caller
+    that reflect-pads the signal host-side by this amount and extracts
+    with pre_padded=True gets sample-identical frames — the hook the
+    serving pipeline uses to bucket prompt lengths without changing the
+    feature values."""
+    if cfg.type == "vocos":
+        return cfg.n_fft // 2
+    return (cfg.n_fft - cfg.hop_length) // 2
+
+
 def vocos_log_mel(
-    wav: jax.Array, cfg: FeatureConfig = FeatureConfig()
+    wav: jax.Array, cfg: FeatureConfig = FeatureConfig(),
+    pre_padded: bool = False,
 ) -> jax.Array:
     """(..., L) waveform -> (..., F, n_mels) log-mel, VocosFbank semantics."""
     mag = stft_magnitude(
         wav, cfg.n_fft, cfg.hop_length,
-        hann_window(cfg.n_fft, periodic=True), center=True,
+        hann_window(cfg.n_fft, periodic=True), center=not pre_padded,
     )
     fb = jnp.asarray(
         mel_filterbank(
@@ -125,12 +138,16 @@ def bigvgan_log_mel(
     cfg: FeatureConfig = FeatureConfig(),
     f_min: float = 0.0,
     f_max: Optional[float] = None,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """(..., L) waveform -> (..., F, n_mels) log-mel, BigVGANFbank semantics."""
-    pad = (cfg.n_fft - cfg.hop_length) // 2
-    wav_p = jnp.pad(
-        wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect"
-    )
+    if pre_padded:
+        wav_p = wav
+    else:
+        pad = (cfg.n_fft - cfg.hop_length) // 2
+        wav_p = jnp.pad(
+            wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect"
+        )
     mag = stft_magnitude(
         wav_p, cfg.n_fft, cfg.hop_length,
         hann_window(cfg.n_fft, periodic=True), center=False, eps=1e-9,
@@ -168,11 +185,17 @@ def extract_features(
     wav: np.ndarray,
     cfg: FeatureConfig,
     num_channels: int = 1,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """Full extractor matching {Vocos,BigVGAN}Fbank.extract (ref feature.py:69-116,
     150-204): channel handling, mel, frame-count fixup.
 
     wav: (C, L) or (L,) numpy/JAX array.  Returns (F, n_mels * C').
+
+    pre_padded=True: the caller already applied stft_pad_amount reflect
+    padding (plus optional right-zeros to a bucketed length); the STFT
+    runs center=False and ALL frames are returned — the caller owns the
+    frame-count contract (slice to compute_num_frames of the true length).
     """
     wav = jnp.asarray(wav)
     if wav.ndim == 1:
@@ -181,14 +204,15 @@ def extract_features(
         wav = jnp.mean(wav, axis=0, keepdims=True)
 
     if cfg.type == "vocos":
-        mel = vocos_log_mel(wav, cfg)
+        mel = vocos_log_mel(wav, cfg, pre_padded=pre_padded)
     elif cfg.type == "bigvgan":
-        mel = bigvgan_log_mel(wav, cfg)
+        mel = bigvgan_log_mel(wav, cfg, pre_padded=pre_padded)
     else:
         raise ValueError(cfg.type)
 
-    n = compute_num_frames(wav.shape[-1], cfg.hop_length)
-    mel = fix_num_frames(mel, n)
+    if not pre_padded:
+        n = compute_num_frames(wav.shape[-1], cfg.hop_length)
+        mel = fix_num_frames(mel, n)
     # (C, F, M) -> (F, C*M) with channel-major feature concat
     # (ref feature.py:96-99: reshape(-1, time).t())
     c, f, m = mel.shape

@@ -211,15 +211,15 @@ def sample_dialog(
     num_step: int = 16,
     guidance_scale: float = 1.5,
     t_shift: float = 0.5,
-    stream: int = 1,
     spk_a_id: int = SPK_A_ID_DEFAULT,
     spk_b_id: int = SPK_B_ID_DEFAULT,
     timesteps=None,
 ) -> jax.Array:
     """Dialog sampling == base sampling with the speaker-aware text embed
-    (ref: ZipVoiceDialog inherits ZipVoice.sample).  For the stereo model,
-    stream 0 generates 2-channel features (the caller supplies 2F prompt
-    features and noise)."""
+    (ref: ZipVoiceDialog inherits ZipVoice.sample).  The mono/stereo
+    backbone stream is selected by INPUT WIDTH auto-dispatch inside
+    tts_zipformer_forward (a 2F prompt/noise pair routes to the stereo
+    stream 0) — there is deliberately no stream argument here."""
     num_frames = prompt_features.shape[1]
     embed = forward_text_embed(
         params, cfg, tokens_padded, tokens_lens, dtype=prompt_features.dtype,

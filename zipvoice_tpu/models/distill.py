@@ -90,7 +90,14 @@ def _cfg_velocity_traced_t(
     guidance_scale,
 ):
     """CFG velocity with a *traced* scalar t: the dual-condition t>0.5 branch
-    becomes a select (ref solver.py:90-98)."""
+    becomes a select (ref solver.py:90-98).
+
+    NOTE: the dual-condition CFG rule intentionally exists at three staging
+    levels — sampling/euler.py:cfg_velocity (trace-time Python t),
+    euler_sample's scan body (scanned t + hoisted conditions), and here
+    (traced t outside a scan, for the distillation teacher's per-sample
+    scales).  A change to the rule (the t==0.5 boundary, the (1+gs)·cond −
+    gs·uncond combination, the x2/sc2 layout) must be applied at all three."""
     hi = t > 0.5
     x2 = jnp.concatenate([x, x], axis=0)
     pm2 = jnp.concatenate([padding_mask, padding_mask], axis=0)

@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zipvoice_tpu.audio.mel import extract_features
+from zipvoice_tpu.audio.mel import (
+    compute_num_frames,
+    extract_features,
+    stft_pad_amount,
+)
 
 
 def enable_compilation_cache(path: str = "/root/.cache/jax_compilation"):
@@ -148,6 +152,14 @@ class ZipVoicePipeline:
         self.dtype = dtype
         self.distill = distill
         self.variant = variant
+        # the stereo dialog model generates 2-channel features: the sample
+        # space (noise / x / generated mel) lives in 2F while
+        # model_cfg.feat_dim stays the per-channel mel dim — the prompt
+        # extractor (num_channels=2) and eval/parity.py (f_x = 2*feat_dim)
+        # already agree on this contract
+        self.sample_feat_dim = model_cfg.feat_dim * (
+            2 if variant == "dialog_stereo" else 1
+        )
         self.vocoder = vocoder
         self.token_bucket = token_bucket
         self.frame_bucket = frame_bucket
@@ -202,31 +214,22 @@ class ZipVoicePipeline:
         return run
 
     @_instance_cache
-    def _vocode_fn(self):
-        vcfg = self.vocos_cfg
-        kind = self.vocoder
-
-        @jax.jit
-        def run(vparams, mel):
-            if kind == "bigvgan":
-                from zipvoice_tpu.audio.bigvgan import (
-                    BigVGANConfig,
-                    bigvgan_decode,
-                )
-
-                return bigvgan_decode(vparams, mel, BigVGANConfig())
-            return vocos_decode(vparams, mel, vcfg)
-
-        return run
-
-    @_instance_cache
     def _extract_fn(self, num_samples: int):
+        """Prompt-fbank program for one BUCKETED padded length.
+
+        num_samples is the pre-padded bucket length (true wav + host
+        reflect padding + right zeros — see prompt_features), so the
+        program count is bounded by the bucket grid, not by every distinct
+        client prompt length (each of which would compile a fresh XLA
+        program on the serving chip)."""
         fcfg = self.feat_cfg
         num_channels = 2 if self.variant == "dialog_stereo" else 1
 
         @jax.jit
         def run(wav):
-            feats = extract_features(wav, fcfg, num_channels=num_channels)
+            feats = extract_features(
+                wav, fcfg, num_channels=num_channels, pre_padded=True
+            )
             return (feats + fcfg.feat_bias) * fcfg.feat_scale
 
         return run
@@ -250,7 +253,7 @@ class ZipVoicePipeline:
                     rng.integers(1, self.model_cfg.vocab_size, max(n_tok // 4, 1))
                 )
                 pf = (rng.standard_normal(
-                    (max(frames // 4, 8), self.model_cfg.feat_dim)) * 0.01
+                    (max(frames // 4, 8), self.sample_feat_dim)) * 0.01
                 ).astype(np.float32)
                 mel, gen_len = self.sample_features(
                     tokens, prompt_tokens, pf, num_step=num_step,
@@ -286,21 +289,65 @@ class ZipVoicePipeline:
                             )[0, 0]
                         )
 
+    # prompt wavs are padded to a grid of this many FRAMES worth of
+    # samples (128 frames = 1.37 s at 24 kHz/hop 256), so a serving
+    # process compiles at most ~22 prompt-fbank programs for prompts up
+    # to 30 s instead of one per distinct client wav length
+    PROMPT_FRAME_BUCKET = 128
+
     def prompt_features(self, prompt_wav: np.ndarray, sr: int,
                         target_rms: float = 0.1):
         """Resample + RMS-normalize + fbank the prompt
         (ref infer_zipvoice.py:332-349).  Returns ((Tp, F) device array,
         prompt_rms) — features stay on device; the tunnel/PCIe hop is the
-        expensive resource, not the fbank."""
+        expensive resource, not the fbank.
+
+        The jitted fbank runs on a BUCKETED length: the true wav gets the
+        extractor's reflect padding applied host-side (stft_pad_amount —
+        a center=False STFT of the pre-padded signal is sample-identical
+        to the extractor's own centered one), then right-zeros up to the
+        bucket; the true frames are sliced out afterwards, so the values
+        match the unbucketed computation exactly while arbitrary client
+        prompt lengths can no longer drive unbounded recompiles."""
         wav = np.asarray(prompt_wav, np.float32)
         if wav.ndim == 1:
             wav = wav[None, :]
         if sr != self.feat_cfg.sampling_rate:
             wav = resample(wav, sr, self.feat_cfg.sampling_rate)
         prompt_rms = float(np.sqrt(np.mean(np.square(wav))))
+        if prompt_rms <= 0.0:
+            # an all-zeros prompt (over-trimmed silence) would otherwise
+            # divide by zero and serve NaN audio with HTTP 200 — the server
+            # maps ValueError from request preparation to a 400
+            raise ValueError("prompt audio is silent (rms == 0)")
         if prompt_rms < target_rms:
             wav = wav * (target_rms / prompt_rms)
-        feats = self._extract_fn(wav.shape[-1])(jnp.asarray(wav, self.dtype))
+
+        fcfg = self.feat_cfg
+        length = wav.shape[-1]
+        pad = stft_pad_amount(fcfg)
+        if length <= pad:
+            raise ValueError(
+                f"prompt too short: {length} samples <= reflect pad {pad}"
+            )
+        bucket = fcfg.hop_length * self.PROMPT_FRAME_BUCKET
+        length_b = round_up(length, bucket)
+        wav_p = np.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        wav_p = np.pad(wav_p, ((0, 0), (0, length_b - length)))
+        out = self._extract_fn(wav_p.shape[-1])(jnp.asarray(wav_p, self.dtype))
+        # frame contract (lhotse round-half-up): crop to the true count; if
+        # the unbucketed STFT would have come up SHORT (bigvgan's smaller
+        # pad can), replicate its last frame exactly like fix_num_frames
+        n_true = compute_num_frames(length, fcfg.hop_length)
+        f_unpadded = 1 + (length + 2 * pad - fcfg.n_fft) // fcfg.hop_length
+        if f_unpadded >= n_true:
+            feats = out[:n_true]
+        else:
+            feats = jnp.concatenate([
+                out[:f_unpadded],
+                jnp.broadcast_to(out[f_unpadded - 1:f_unpadded],
+                                 (n_true - f_unpadded, out.shape[-1])),
+            ])
         return feats, prompt_rms
 
     def synthesize(
@@ -389,7 +436,7 @@ class ZipVoicePipeline:
         if noise is None:
             # generated on device; never round-trips to host
             noise = jax.random.normal(
-                jax.random.PRNGKey(seed), (1, t_pad, self.model_cfg.feat_dim),
+                jax.random.PRNGKey(seed), (1, t_pad, self.sample_feat_dim),
                 self.dtype,
             )
         elif noise.shape[1] < t_pad:
@@ -613,14 +660,14 @@ class ZipVoicePipeline:
         ])
         if seeds is None:
             noise = jax.random.normal(
-                jax.random.PRNGKey(seed), (n, t_pad, self.model_cfg.feat_dim),
+                jax.random.PRNGKey(seed), (n, t_pad, self.sample_feat_dim),
                 self.dtype,
             )
         else:
             assert len(seeds) == n
             noise = jax.vmap(
                 lambda s: jax.random.normal(
-                    jax.random.PRNGKey(s), (t_pad, self.model_cfg.feat_dim),
+                    jax.random.PRNGKey(s), (t_pad, self.sample_feat_dim),
                     self.dtype,
                 )
             )(jnp.asarray([s & 0xFFFFFFFF for s in seeds], jnp.uint32))
@@ -723,8 +770,14 @@ class ZipVoicePipeline:
         4-6x and let chunks blow past the ~30 s training cap)."""
         import re as _re
 
+        # Latin punctuation splits only when followed by whitespace (keeps
+        # "3.14" together); CJK full-width punctuation splits regardless —
+        # ZH text has no space after 。！？；, and requiring one meant a
+        # 3-minute ZH input stayed ONE chunk, blowing past the length cap
         sentences = [
-            s.strip() for s in _re.split(r"(?<=[.!?。！？;])\s+", text) if s.strip()
+            s.strip()
+            for s in _re.split(r"(?<=[.!?;])\s+|(?<=[。！？；])\s*", text)
+            if s.strip()
         ] or [text]
 
         def _est_seconds(t: str) -> float:
@@ -761,14 +814,20 @@ class ZipVoicePipeline:
                 speed=speed, t_shift=t_shift, seed=seed + ci,
             )
             mel_np = np.asarray(mel[:gen_len], np.float32)
-            tail = mel_np[-carry_frames:]
-            cur_prompt_feats = jnp.asarray(
-                (tail + self.feat_cfg.feat_bias) * self.feat_cfg.feat_scale,
-                self.dtype,
-            )
-            frac = min(1.0, len(tail) / max(gen_len, 1))
-            n_tok = max(1, int(len(tokens) * frac))
-            cur_prompt_tokens = tokens[-n_tok:]
+            # carry_frames=0 disables the cross-chunk carry: every chunk is
+            # conditioned on the ORIGINAL prompt (duration prediction needs
+            # a nonzero prompt to extrapolate a speaking rate, so "no
+            # prompt at all" is not an option).  The old mel_np[-0:] slice
+            # silently carried the ENTIRE previous chunk instead.
+            if carry_frames > 0:
+                tail = mel_np[-carry_frames:]
+                cur_prompt_feats = jnp.asarray(
+                    (tail + self.feat_cfg.feat_bias) * self.feat_cfg.feat_scale,
+                    self.dtype,
+                )
+                frac = min(1.0, len(tail) / max(gen_len, 1))
+                n_tok = max(1, int(len(tokens) * frac))
+                cur_prompt_tokens = tokens[-n_tok:]
             yield mel_np
 
     def synthesize_stream(

@@ -80,6 +80,9 @@ def cfg_velocity(
     unconditioned/conditioned passes run as one 2B batch.  guidance_scale may
     be a float or a per-sample (B, 1, 1) array (the reference allows tensors
     at solver.py:66-69; the distillation teacher uses per-sample scales).
+
+    NOTE: the CFG rule also lives in euler_sample's scan body (scanned t)
+    and models/distill._cfg_velocity_traced_t (traced t) — change all three.
     """
     from zipvoice_tpu.models.zipvoice import forward_fm_decoder
 
