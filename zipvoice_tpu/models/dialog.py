@@ -160,7 +160,10 @@ def compute_fm_loss_dialog(
             text_condition.dtype
         )
 
-    xt = features * t + noise * (1.0 - t)
+    # mix in the features' compute dtype (t rides in f32 — see
+    # zipvoice.compute_fm_loss / train.step for the draw-precision contract)
+    tm = t.astype(features.dtype)
+    xt = features * tm + noise * (1.0 - tm)
     ut = features - noise
 
     vt = zv.forward_fm_decoder(

@@ -272,7 +272,10 @@ def compute_fm_loss(
             text_condition.dtype
         )
 
-    xt = features * t + noise * (1.0 - t)
+    # mix in the features' compute dtype (t may ride in f32 — drawn at
+    # full precision in train/step.py — and must not promote x_t to f32)
+    tm = t.astype(features.dtype)
+    xt = features * tm + noise * (1.0 - tm)
     ut = features - noise
 
     vt = forward_fm_decoder(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from zipvoice_tpu.config import ZipformerConfig
+from zipvoice_tpu.ops.attention import TILE as _ATTN_TILE
 from zipvoice_tpu.nn.functional import (
     bias_norm,
     compact_rel_positional_encoding,
@@ -262,10 +263,10 @@ def _tap(name: str, x):
 
 
 def _fused_attention_wanted(t: int, ctx) -> bool:
-    # below one 128-row tile the pad waste beats the fusion win (and the
-    # text-encoder stack at ~32 tokens is cheap either way); any t >= 128
+    # below one TILE-row tile the pad waste beats the fusion win (and the
+    # text-encoder stack at ~32 tokens is cheap either way); any t >= TILE
     # runs the kernel via the pad-and-slice wrapper in ops/attention.py
-    if t < 128:
+    if t < _ATTN_TILE:
         return False
     if _FUSED_ATTENTION is not None:
         return _FUSED_ATTENTION
@@ -688,7 +689,7 @@ def _self_attention(p: Params, cfg: ZipformerConfig, x: jax.Array,
     elif (
         ctx is None
         and _PROBS_APPLY
-        and t % 128 == 0
+        and t % _ATTN_TILE == 0
         and _fused_attention_wanted(t, ctx)
     ):
         # eval shared-probs consume: lane-padded Pallas matmul instead of
@@ -1025,7 +1026,7 @@ def _encoder_layer(
         ff3 = _maybe_seq_dropout(ctx, ff3, ctx.s["ff3_skip_rate"])
     src = src + ff3
 
-    src = _maybe_balancer(ctx, src, ctx.s["balancer_prob"] if ctx else 0.0,
+    src = _maybe_balancer(ctx, src, ctx.s["balancer_prob"],
                           min_positive=0.45, max_positive=0.55,
                           min_abs=0.2, max_abs=4.0) if ctx is not None else src
     src = bias_norm(src, p["norm"]["bias"], p["norm"]["log_scale"])

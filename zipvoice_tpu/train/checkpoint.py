@@ -83,8 +83,13 @@ def load_checkpoint(filename: str, load_opt: bool = True) -> Dict[str, Any]:
           for k, v in ckpt.pop("model").items()}
     out["params"] = state_dict_to_params(sd)
     if "model_avg" in ckpt:
+        # keep the saved dtype: the running average is accumulated AND
+        # saved in float64; truncating to f32 on every resume would leak
+        # amplified rounding into average_checkpoints_with_averaged_model
+        # (the start/end differencing multiplies dtype error by
+        # b_end/interval — 30x for checkpoints 2k steps apart at step 60k)
         sda = {
-            k: np.asarray(v.to(torch.float32).numpy())
+            k: np.asarray(v.numpy() if hasattr(v, "numpy") else v)
             for k, v in ckpt.pop("model_avg").items()
         }
         out["model_avg"] = state_dict_to_params(sda)

@@ -9,6 +9,7 @@ changing them never recompiles.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 from zipvoice_tpu.config import ZipformerConfig
@@ -59,6 +60,28 @@ def whitening_schedule(x: float, ratio: float = 2.0) -> PiecewiseLinear:
     return sched((0.0, x), (20000.0, ratio * x))
 
 
+# cfg-independent schedules evaluated inside zipformer_schedules: built once
+# (the trainer evaluates the schedule set twice per training step — once per
+# backbone — and rebuilding ~20 PiecewiseLinear objects per call is pure
+# host-side waste)
+_WHITEN_4X3 = whitening_schedule(4.0, 3.0)
+_WHITEN_3 = whitening_schedule(3.0)
+_WHITEN_7_5 = whitening_schedule(7.5)
+_WHITEN_7_5X3 = whitening_schedule(7.5, 3.0)
+_WHITEN_5 = whitening_schedule(5.0)
+_WHITEN_5X3 = whitening_schedule(5.0, 3.0)
+_BAL_NA_MIN_ABS = sched((0.0, 0.004), (4000.0, 0.02))
+_BAL_FF2_MIN_ABS = sched((0.0, 0.0), (4000.0, 0.1))
+_BAL_FF3_MIN_ABS = sched((0.0, 0.0), (4000.0, 0.2))
+_NONLIN_BAL_MIN_POS = sched((0.0, 0.25), (20000.0, 0.05))
+_NONLIN_BAL_MAX_POS = sched((0.0, 0.75), (20000.0, 0.95))
+_CONV_BAL1_MIN_POS = sched((0.0, 0.05), (8000.0, 0.025))
+_CONV_BAL1_MAX_ABS = sched((0.0, 5.0), (8000.0, 10.0))
+_CONV_BAL2_MIN_POS = sched((0.0, 0.1), (8000.0, 0.05))
+_CONV_BAL2_MIN_ABS = sched((0.0, 0.2), (20000.0, 0.5))
+
+
+@functools.lru_cache(maxsize=16)
 def layerdrop_schedules(
     cfg: ZipformerConfig, warmup_batches: float = 4000.0
 ) -> Tuple[Tuple[PiecewiseLinear, ...], ...]:
@@ -98,21 +121,21 @@ def zipformer_schedules(
         "bypass_scale_min": _BYPASS_SCALE_MIN(batch_count),
         "pos_emb_skip_rate": _POS_EMB_SKIP(batch_count),
         "balancer_prob": _BALANCER_PROB(batch_count),
-        "whiten_4x3": whitening_schedule(4.0, 3.0)(batch_count),
-        "whiten_3": whitening_schedule(3.0)(batch_count),
-        "whiten_7_5": whitening_schedule(7.5)(batch_count),
-        "whiten_7_5x3": whitening_schedule(7.5, 3.0)(batch_count),
-        "whiten_5": whitening_schedule(5.0)(batch_count),
-        "whiten_5x3": whitening_schedule(5.0, 3.0)(batch_count),
-        "balancer_na_min_abs": sched((0.0, 0.004), (4000.0, 0.02))(batch_count),
-        "balancer_ff2_min_abs": sched((0.0, 0.0), (4000.0, 0.1))(batch_count),
-        "balancer_ff3_min_abs": sched((0.0, 0.0), (4000.0, 0.2))(batch_count),
-        "nonlin_balancer_min_pos": sched((0.0, 0.25), (20000.0, 0.05))(batch_count),
-        "nonlin_balancer_max_pos": sched((0.0, 0.75), (20000.0, 0.95))(batch_count),
-        "conv_balancer1_min_pos": sched((0.0, 0.05), (8000.0, 0.025))(batch_count),
-        "conv_balancer1_max_abs": sched((0.0, 5.0), (8000.0, 10.0))(batch_count),
-        "conv_balancer2_min_pos": sched((0.0, 0.1), (8000.0, 0.05))(batch_count),
-        "conv_balancer2_min_abs": sched((0.0, 0.2), (20000.0, 0.5))(batch_count),
+        "whiten_4x3": _WHITEN_4X3(batch_count),
+        "whiten_3": _WHITEN_3(batch_count),
+        "whiten_7_5": _WHITEN_7_5(batch_count),
+        "whiten_7_5x3": _WHITEN_7_5X3(batch_count),
+        "whiten_5": _WHITEN_5(batch_count),
+        "whiten_5x3": _WHITEN_5X3(batch_count),
+        "balancer_na_min_abs": _BAL_NA_MIN_ABS(batch_count),
+        "balancer_ff2_min_abs": _BAL_FF2_MIN_ABS(batch_count),
+        "balancer_ff3_min_abs": _BAL_FF3_MIN_ABS(batch_count),
+        "nonlin_balancer_min_pos": _NONLIN_BAL_MIN_POS(batch_count),
+        "nonlin_balancer_max_pos": _NONLIN_BAL_MAX_POS(batch_count),
+        "conv_balancer1_min_pos": _CONV_BAL1_MIN_POS(batch_count),
+        "conv_balancer1_max_abs": _CONV_BAL1_MAX_ABS(batch_count),
+        "conv_balancer2_min_pos": _CONV_BAL2_MIN_POS(batch_count),
+        "conv_balancer2_min_abs": _CONV_BAL2_MIN_ABS(batch_count),
         "layerdrop": tuple(
             tuple(s(batch_count) for s in stack) for stack in ld
         ),

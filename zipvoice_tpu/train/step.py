@@ -77,9 +77,16 @@ def make_train_step(
         k_t, k_noise, k_mask = jax.random.split(rng, 3)
         features = batch["features"].astype(dtype)
         b = features.shape[0]
-        # t ~ U(0,1) per utterance (ref train_zipvoice.py:471)
-        t = jax.random.uniform(k_t, (b, 1, 1), dtype)
-        noise = jax.random.normal(k_noise, features.shape, dtype)
+        # t ~ U(0,1) per utterance (ref train_zipvoice.py:471).  Both t and
+        # the CFM noise are DRAWN in f32 like the reference (467, 471): a
+        # bf16 draw quantizes t to an 8-bit mantissa (1/256 spacing near 1)
+        # and coarsens the noise tails before the model ever sees them —
+        # the compute dtype applies downstream (the loss casts the x_t mix;
+        # forward_fm_decoder keeps t itself f32 for the time embedding).
+        t = jax.random.uniform(k_t, (b, 1, 1), jnp.float32)
+        noise = jax.random.normal(
+            k_noise, features.shape, jnp.float32
+        ).astype(dtype)
         cparams = jax.tree.map(lambda a: a.astype(dtype), params)
         if train_cfg.loss == "dialog":
             from zipvoice_tpu.models.dialog import compute_fm_loss_dialog
